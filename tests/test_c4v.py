@@ -1,0 +1,206 @@
+"""C4v CTMRG stack tests: cross-validation against the peps-torch
+reference (oracle) + internal consistency + gradient checks.
+
+This is the test strategy of SURVEY.md §4 adapted to a rebuild: instead
+of only golden numbers, every building block is compared against the
+reference implementation on random states to machine precision.
+"""
+
+import numpy as np
+import pytest
+
+import tpeps  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from tpeps.config import CtmArgs
+from tpeps.ctm.c4v import rdm as m_rdm
+from tpeps.ctm.c4v.ctmrg import (
+    c2x2_sl,
+    converge_env,
+    ctm_move_sl,
+    run_fixed_point,
+)
+from tpeps.ctm.c4v.env import EnvC4v, init_env
+from tpeps.ipeps.ipeps_c4v import symmetrize_c4v
+from tpeps.models.j1j2 import J1J2_C4V_BIPARTITE
+
+from refutil import import_reference, reference_available
+
+needs_ref = pytest.mark.skipif(not reference_available(), reason="reference not present")
+
+
+def _random_c4v(d=2, D=2, seed=0, normalize=True):
+    rng = np.random.RandomState(seed)
+    A = jnp.asarray(rng.rand(d, D, D, D, D) - 0.5)
+    return symmetrize_c4v(A, normalize=normalize)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    if not reference_available():
+        pytest.skip("reference not present")
+    import_reference()
+    import torch  # noqa: F401
+
+    from ctm.one_site_c4v import ctmrg_c4v, rdm_c4v  # noqa: F401
+    from ctm.one_site_c4v.env_c4v import ENV_C4V, init_env as r_init_env
+    from ipeps.ipeps_c4v import IPEPS_C4V as R_IPEPS
+
+    class Ref:
+        pass
+
+    r = Ref()
+    r.torch = __import__("torch")
+    r.rdm_c4v = rdm_c4v
+    r.ctmrg_c4v = ctmrg_c4v
+    r.ENV_C4V = ENV_C4V
+    r.init_env = r_init_env
+    r.IPEPS = R_IPEPS
+    return r
+
+
+def _ref_env(ref, a_np, chi):
+    rstate = ref.IPEPS(ref.torch.from_numpy(a_np.copy()))
+    renv = ref.ENV_C4V(chi, rstate)
+    ref.init_env(rstate, renv)
+    return rstate, renv
+
+
+class TestCrossValidation:
+    """Bit-level agreement with the reference on a shared environment."""
+
+    @needs_ref
+    @pytest.mark.parametrize("D", [2, 3])
+    def test_c2x2_and_rdms(self, ref, D):
+        chi = 3 * D * D // 2
+        a = _random_c4v(D=D, seed=D)
+        a_np = np.asarray(a)
+        rstate, renv = _ref_env(ref, a_np, chi)
+        rC, rT = renv.get_C().numpy(), renv.get_T().numpy()
+        env = EnvC4v(jnp.asarray(rC), jnp.asarray(rT))
+
+        m = np.asarray(c2x2_sl(a, env.C, env.T))
+        from ctm.one_site_c4v.ctm_components_c4v import c2x2_sl as r_c2x2
+
+        rm = r_c2x2(rstate.site(), renv.get_C(), renv.get_T()).numpy()
+        assert np.abs(m - rm).max() < 1e-12 * np.abs(rm).max() + 1e-13
+
+        pairs = [
+            (m_rdm.rdm1x1_sl, ref.rdm_c4v.rdm1x1_sl),
+            (m_rdm.rdm2x1_sl, ref.rdm_c4v.rdm2x1_sl),
+            (m_rdm.rdm2x2_NN_lowmem_sl, ref.rdm_c4v.rdm2x2_NN_lowmem_sl),
+            (m_rdm.rdm2x2_NNN_lowmem_sl, ref.rdm_c4v.rdm2x2_NNN_lowmem_sl),
+            (m_rdm.rdm3x1_sl, ref.rdm_c4v.rdm3x1),
+            (m_rdm.rdm2x2, ref.rdm_c4v.rdm2x2),
+        ]
+        for mine, theirs in pairs:
+            mv = np.asarray(mine(a, env))
+            rv = theirs(rstate, renv).numpy()
+            assert np.abs(mv - rv).max() < 1e-10, f"{mine.__name__} mismatch"
+
+    @needs_ref
+    def test_converged_energy_matches_reference(self, ref):
+        """Full CTMRG + energy vs reference on a random D=2 state."""
+        from models import j1j2 as r_j1j2
+
+        chi = 16
+        a = _random_c4v(D=2, seed=7)
+        a_np = np.asarray(a)
+        rstate, renv = _ref_env(ref, a_np, chi)
+
+        def conv_f(state, env_, history, ctm_args=None):
+            import config as rcfg
+
+            r = ref.rdm_c4v.rdm2x1_sl(state, env_)
+            if not history:
+                history = {"log": []}
+            dist = float("inf")
+            if history["log"]:
+                dist = ref.torch.dist(r, history["rdm"]).item()
+            history["rdm"] = r
+            history["log"].append(dist)
+            return (dist < 1e-12, history)
+
+        import config as rcfg
+
+        old = rcfg.ctm_args.ctm_max_iter
+        rcfg.ctm_args.ctm_max_iter = 500
+        renv, *_ = ref.ctmrg_c4v.run(rstate, renv, conv_check=conv_f)
+        rcfg.ctm_args.ctm_max_iter = old
+        rmodel = r_j1j2.J1J2_C4V_BIPARTITE(j1=1.0, j2=0.3)
+        rE = rmodel.energy_1x1_lowmem(rstate, renv).item()
+
+        env0 = init_env(a, chi, "CTMRG")
+        env, n_iter, dist, _ = run_fixed_point(
+            a=a, env=env0, max_iter=500, conv_tol=1e-12, conv_on="env"
+        )
+        model = J1J2_C4V_BIPARTITE(j1=1.0, j2=0.3)
+        mE = float(model.energy_1x1_lowmem(a, env))
+        assert abs(mE - rE) < 5e-7, f"energy mismatch {mE} vs {rE}"
+
+
+class TestFixedPoint:
+    def test_elementwise_convergence(self):
+        """Continuity gauge must give an elementwise fixed point (the
+        prerequisite for implicit differentiation)."""
+        chi = 16
+        a = _random_c4v(D=2, seed=7)
+        env0 = init_env(a, chi, "CTMRG")
+        env, n, dist, P = run_fixed_point(
+            a=a, env=env0, max_iter=800, conv_tol=1e-12, conv_on="env"
+        )
+        assert float(dist) < 1e-11
+        e1, _, _ = ctm_move_sl(a, env, P)
+        assert float(jnp.abs(e1.C - env.C).max()) < 1e-10
+        assert float(jnp.abs(e1.T - env.T).max()) < 1e-10
+
+    def test_energy_independent_of_init(self):
+        chi = 12
+        a = _random_c4v(D=2, seed=3)
+        model = J1J2_C4V_BIPARTITE(j1=1.0, j2=0.0)
+        energies = []
+        for init_type in ["CTMRG", "PROD"]:
+            env0 = init_env(a, chi, init_type)
+            env, *_ = run_fixed_point(a=a, env=env0, max_iter=600, conv_tol=1e-12)
+            energies.append(float(model.energy_1x1_lowmem(a, env)))
+        assert abs(energies[0] - energies[1]) < 1e-8
+
+
+class TestGradients:
+    @pytest.mark.parametrize("grad_mode", ["implicit", "scan"])
+    def test_grad_vs_fd(self, grad_mode):
+        """AD-through-CTMRG gradient vs finite differences — the contract
+        of reference optim/test_grad.py:9-102."""
+        chi = 8
+        D = 2
+        rng = np.random.RandomState(7)
+        A = jnp.asarray(rng.rand(2, D, D, D, D) - 0.5)
+        model = J1J2_C4V_BIPARTITE(j1=1.0, j2=0.3)
+        cfg = CtmArgs(
+            ctm_max_iter=600, ctm_conv_tol=1e-12, grad_mode=grad_mode,
+            grad_tail_iter=70, grad_adjoint_max_iter=300, grad_adjoint_tol=1e-10,
+        )
+
+        def loss(p):
+            a = symmetrize_c4v(p, normalize=True)
+            e0 = init_env(jax.lax.stop_gradient(a), chi, "CTMRG")
+            e = converge_env(a, e0, cfg)
+            return model.energy_1x1_lowmem(a, e)
+
+        def loss_ng(p):
+            a = symmetrize_c4v(p, normalize=True)
+            e0 = init_env(a, chi, "CTMRG")
+            e, *_ = run_fixed_point(a=a, env=e0, max_iter=600, conv_tol=1e-12, conv_on="env")
+            return float(model.energy_1x1_lowmem(a, e))
+
+        val, grad = jax.value_and_grad(loss)(A)
+        grad = np.asarray(grad)
+        assert np.isfinite(grad).all()
+        eps = 1e-6
+        v = rng.rand(*A.shape) - 0.5
+        v /= np.linalg.norm(v)
+        fd = (loss_ng(A + eps * v) - loss_ng(A - eps * v)) / (2 * eps)
+        an = float(np.sum(grad * v))
+        tol = 2e-3 if grad_mode == "implicit" else 5e-2
+        assert abs(fd - an) < tol * max(abs(fd), 1e-8), f"fd={fd} ad={an}"

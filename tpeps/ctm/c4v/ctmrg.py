@@ -1,0 +1,378 @@
+"""C4v single-layer CTMRG: jitted move, on-device fixed-point loop, and
+two reverse-mode differentiation strategies.
+
+Counterpart of reference ctm/one_site_c4v/ctmrg_c4v.py:16-464
+(``run`` + ``ctm_MOVE_sl``), re-designed for XLA:
+
+* the move is a pure function ``(a, C, T) -> (C', T', spec)`` — traced
+  once per (d, D, chi, dtype) and reused,
+* the CTMRG fixed-point loop is a ``lax.while_loop`` carrying the
+  environment pytree with an on-device, gauge-invariant convergence
+  check on the normalized corner spectrum (the reference's
+  ``ctmrg_conv_specC`` criterion, ctm/generic/env.py:817),
+* gradients cross the loop either by **implicit differentiation** of
+  the fixed point (adjoint solved by Neumann-series VJP iteration —
+  the same mathematics as YASTN's ``FixedPoint`` used by the reference
+  for fermionic examples, ipeps/integration_yastn.py + honeycomb/CI.py)
+  or by a **checkpointed scan** over a fixed tail of moves
+  (the reference's ``fwd_checkpoint_move`` backprop-through-iterations,
+  ctmrg_c4v.py:454-458, with memory O(1) per move via
+  ``jax.checkpoint``).
+
+Index conventions follow :mod:`tpeps.ctm.c4v.env`; the enlarged corner
+is built layer-by-layer, never forming the D^4 double-layer tensor
+(reference ctm_components_c4v.py:52-130).
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ...linalg.eigh import fix_eigvec_phase, truncated_eigh_sym
+from .env import EnvC4v
+
+
+def c2x2_sl(a, C, T):
+    """Single-layer enlarged upper-left corner as a (chi D^2, chi D^2) matrix.
+
+    Row index = (down-chi, down-ket, down-bra), column index =
+    (right-chi, right-ket, right-bra), matching reference
+    ctm_components_c4v.py:52-130.  Cost O(chi^2 D^6 + chi^2 D^4 d);
+    every contraction is a large matmul for the MXU.
+    """
+    chi = C.shape[0]
+    D = a.shape[1]
+    T4 = T.reshape(chi, chi, D, D)
+    # C--T(top): contract C's right with top-T's left; x=C-down, i=T-right
+    ct = jnp.einsum("xy,iyuv->xiuv", C, T4)
+    # attach left T: x contracts top-left-T junction; j=left-T-down
+    q = jnp.einsum("xiuv,xjlm->iuvjlm", ct, T4)
+    # ket layer: contract a over (up, left)
+    q = jnp.einsum("iuvjlm,suler->ivjmser", q, a)
+    # bra layer: contract conj(a) over (up, left, phys)
+    out = jnp.einsum("ivjmser,svmfg->jefirg", q, jnp.conj(a))
+    # [j, e(dk), f(db), i, r(rk), g(rb)] -> matrix
+    return out.reshape(chi * D * D, chi * D * D)
+
+
+def open_c2x2_sl(a, C, T):
+    """Enlarged upper-left corner with open physical indices.
+
+    Returns ``[ (down-chi, dk, db), (right-chi, rk, rb), s, s' ]`` with
+    ``s`` from the ket (non-conjugated) layer — reference
+    rdm_c4v.py:24-92 (``_get_open_C2x2_LU_sl``).
+    """
+    chi = C.shape[0]
+    D = a.shape[1]
+    d = a.shape[0]
+    T4 = T.reshape(chi, chi, D, D)
+    ct = jnp.einsum("xy,iyuv->xiuv", C, T4)
+    q = jnp.einsum("xiuv,xjlm->iuvjlm", ct, T4)
+    q = jnp.einsum("iuvjlm,suler->ivjmser", q, a)
+    out = jnp.einsum("ivjmser,zvmfg->jefirgsz", q, jnp.conj(a))
+    return out.reshape(chi * D * D, chi * D * D, d, d)
+
+
+def _absorb_T(a, T, P4):
+    """Renormalize the half-row tensor: T' = P^H (T a a*) P, layer by layer
+    (reference ctmrg_c4v.py:380-445)."""
+    chi = T.shape[0]
+    D = a.shape[1]
+    T4 = T.reshape(chi, chi, D, D)
+    # P[c,(u,v),p] contracts the up-chi of the left T
+    z = jnp.einsum("cuvp,cdlm->uvpdlm", P4, T4)
+    # ket layer over (up, left)
+    z = jnp.einsum("uvpdlm,suler->vpdmser", z, a)
+    # bra layer over (up, left, phys)
+    z = jnp.einsum("vpdmser,svmfg->pderfg", z, jnp.conj(a))
+    # close with P* over (down-chi, dk, db)
+    nT = jnp.einsum("pderfg,defq->pqrg", z, jnp.conj(P4))
+    # hermitian-symmetrize T'_{ija} = (T'_{ija} + T'*_{jia})/2 (ctmrg_c4v.py:447)
+    nT = 0.5 * (nT + jnp.conj(nT.transpose(1, 0, 2, 3)))
+    return nT.reshape(chi, chi, D * D)
+
+
+def fix_phase_continuity(P, P_ref):
+    """Phase-fix projector columns against a reference projector.
+
+    The C4v CTMRG environment is only defined up to a per-eigenvector
+    phase; with an absolute (pivot-based) gauge the iteration typically
+    settles into a period-2 sign cycle in T and never reaches an
+    elementwise fixed point.  Rotating each column of ``P`` so its
+    overlap with the corresponding column of the previous iteration's
+    projector is real-positive removes the cycle, which is what implicit
+    differentiation of the fixed point requires.  Columns with ~zero
+    overlap (first iteration, rank growth) fall back to the pivot gauge.
+    Differentiable a.e. (phases enter through smooth complex division).
+    """
+    ov = jnp.sum(jnp.conj(P_ref) * P, axis=0)
+    if jnp.iscomplexobj(P):
+        phase = ov / jnp.maximum(jnp.abs(ov), 1e-300)
+    else:
+        phase = jnp.sign(ov)
+    P_pivot = fix_eigvec_phase(P)
+    small = jnp.abs(jax.lax.stop_gradient(ov)) < 1e-12
+    return jnp.where(small[None, :], P_pivot, P * jnp.conj(phase)[None, :])
+
+
+def ctm_move_sl(
+    a,
+    env: EnvC4v,
+    P_ref=None,
+    *,
+    keep_multiplets: bool = True,
+    eps_multiplet: float = 1.0e-12,
+    ad_decomp_reg: float = 1.0e-12,
+    absorb_normalization: str = "inf",
+    sg_norm: bool = True,
+    gauge_fix: bool = True,
+):
+    """One C4v CTMRG step (reference ``ctm_MOVE_sl``, ctmrg_c4v.py:325-464).
+
+    1. build enlarged corner (single-layer),
+    2. truncated symmetric eigendecomposition -> projector P,
+    3. C' = diag(spectrum), T' = P^H (T a a*) P, symmetrized,
+    4. normalize (C by leading eigenvalue, T by inf- or 2-norm).
+
+    :param P_ref: previous/converged projector for the continuity gauge
+        (see :func:`fix_phase_continuity`); with ``None`` an absolute
+        pivot gauge is used.
+    :param sg_norm: treat normalization scales as constants under AD
+        (the reference computes them under ``torch.no_grad``,
+        ctmrg_c4v.py:186-196).  The implicit-diff adjoint uses
+        ``sg_norm=False`` so the differentiated map is exactly the
+        iterated one.
+    :param gauge_fix: phase-fix projector columns so the environment
+        converges elementwise (required for implicit differentiation).
+    :return: ``(EnvC4v(C', T'), spec, P)`` with ``spec`` the normalized
+        corner spectrum (descending by magnitude) for convergence checks.
+    """
+    C, T = env
+    chi = C.shape[0]
+    D = a.shape[1]
+
+    M = c2x2_sl(a, C, T)
+    M = 0.5 * (M + M.conj().T)
+    Dspec, P = truncated_eigh_sym(
+        M, chi, keep_multiplets=keep_multiplets,
+        ad_decomp_reg=ad_decomp_reg, eps_multiplet=eps_multiplet,
+    )
+    if gauge_fix:
+        if P_ref is None:
+            P = fix_eigvec_phase(P)
+        else:
+            P = fix_phase_continuity(P, P_ref)
+
+    scale_C = jnp.abs(Dspec[0])
+    if sg_norm:
+        scale_C = lax.stop_gradient(scale_C)
+    spec = Dspec / scale_C
+    nC = jnp.diag(spec.astype(C.dtype))
+
+    nT = _absorb_T(a, T, P.reshape(chi, D, D, chi))
+    if absorb_normalization == "inf":
+        scale_T = jnp.abs(nT).max()
+    else:
+        scale_T = jnp.linalg.norm(nT.ravel())
+    if sg_norm:
+        scale_T = lax.stop_gradient(scale_T)
+    nT = nT / scale_T
+
+    return EnvC4v(nC, nT), spec, P
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_iter", "conv_tol", "keep_multiplets", "eps_multiplet",
+        "ad_decomp_reg", "absorb_normalization", "conv_on",
+    ),
+)
+def run_fixed_point(
+    a,
+    env: EnvC4v,
+    *,
+    max_iter: int = 50,
+    conv_tol: float = 1.0e-8,
+    keep_multiplets: bool = True,
+    eps_multiplet: float = 1.0e-12,
+    ad_decomp_reg: float = 1.0e-12,
+    absorb_normalization: str = "inf",
+    conv_on: str = "spec",
+):
+    """Run CTMRG to convergence fully on-device (no AD through this).
+
+    ``lax.while_loop`` over moves with the continuity gauge (the
+    previous projector is carried and each new projector is phase-fixed
+    against it), so the environment converges *elementwise*.
+
+    Convergence criterion:
+
+    * ``conv_on="spec"`` — l2 distance of successive normalized corner
+      spectra, the gauge-invariant ``ctmrg_conv_specC`` of reference
+      ctm/generic/env.py:817,
+    * ``conv_on="env"`` — max-norm distance of successive (C, T)
+      elementwise; required by implicit differentiation.
+
+    :return: ``(env, n_iter, dist, P)`` with ``P`` the last projector
+        (the gauge reference for the implicit adjoint).
+    """
+    move = partial(
+        ctm_move_sl,
+        keep_multiplets=keep_multiplets, eps_multiplet=eps_multiplet,
+        ad_decomp_reg=ad_decomp_reg, absorb_normalization=absorb_normalization,
+        sg_norm=True, gauge_fix=True,
+    )
+    chi = env.C.shape[0]
+    D = a.shape[1]
+    rdtype = env.C.real.dtype
+    spec0 = jnp.full((chi,), jnp.inf, dtype=rdtype)
+    P0 = jnp.zeros((chi * D * D, chi), dtype=env.C.dtype)
+
+    def cond(carry):
+        _, _, _, dist, i = carry
+        return jnp.logical_and(i < max_iter, dist > conv_tol)
+
+    def body(carry):
+        e, P_prev, spec_prev, _, i = carry
+        e2, spec, P = move(a, e, P_prev)
+        if conv_on == "env":
+            dist = jnp.maximum(
+                jnp.abs(e2.C - e.C).max(), jnp.abs(e2.T - e.T).max()
+            )
+        else:
+            dist = jnp.linalg.norm(jnp.abs(spec) - jnp.abs(spec_prev))
+        dist = jnp.where(jnp.isfinite(dist), dist, jnp.inf)
+        return (e2, P, jnp.abs(spec), dist, i + 1)
+
+    carry = (env, P0, spec0, jnp.asarray(jnp.inf, dtype=rdtype), jnp.asarray(0))
+    env, P, _, dist, n_iter = lax.while_loop(cond, body, carry)
+    return env, n_iter, dist, P
+
+
+# ---------------------------------------------------------------------------
+# Differentiable convergence: implicit fixed-point differentiation
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _make_converge_implicit(
+    keep_multiplets, eps_multiplet, ad_decomp_reg, absorb_normalization,
+    max_iter, conv_tol, adjoint_max_iter, adjoint_tol,
+):
+    """Factory for the custom-VJP converged-environment function.
+
+    Forward: run to the fixed point without AD.  Backward: solve the
+    adjoint fixed-point equation ``u = (df/denv)^T u + ybar`` by Neumann
+    iteration, accumulating ``abar = sum_k (df/da)^T u_k``.  This is the
+    implicit-function-theorem gradient of the CTMRG fixed point —
+    constant memory in the number of forward iterations.
+    """
+    move_ad = partial(
+        ctm_move_sl,
+        keep_multiplets=keep_multiplets, eps_multiplet=eps_multiplet,
+        ad_decomp_reg=ad_decomp_reg, absorb_normalization=absorb_normalization,
+        sg_norm=False, gauge_fix=True,
+    )
+
+    def _converge_raw(a, env):
+        return run_fixed_point(
+            a, env, max_iter=max_iter, conv_tol=conv_tol,
+            keep_multiplets=keep_multiplets, eps_multiplet=eps_multiplet,
+            ad_decomp_reg=ad_decomp_reg, absorb_normalization=absorb_normalization,
+            conv_on="env",
+        )
+
+    @jax.custom_vjp
+    def converge(a, env):
+        e, _, _, _ = _converge_raw(a, env)
+        return e
+
+    def fwd(a, env):
+        e, _, _, P = _converge_raw(a, env)
+        return e, (a, e, P)
+
+    def bwd(res, cot):
+        a, e, P_star = res
+        # differentiate the move in the converged continuity gauge: the
+        # gauge reference is the fixed-point projector itself (constant)
+        _, vjp_fn = jax.vjp(
+            lambda a_, e_: move_ad(a_, e_, lax.stop_gradient(P_star))[0], a, e
+        )
+
+        def norm2(t):
+            return sum(jnp.vdot(x, x).real for x in jax.tree_util.tree_leaves(t))
+
+        cot_norm = norm2(cot)
+        da0 = jax.tree_util.tree_map(jnp.zeros_like, a)
+
+        def cond(carry):
+            _, u, i, delta = carry
+            return jnp.logical_and(i < adjoint_max_iter, delta > adjoint_tol**2 * cot_norm)
+
+        def body(carry):
+            da, u, i, _ = carry
+            da_i, u_next = vjp_fn(u)
+            da = jax.tree_util.tree_map(jnp.add, da, da_i)
+            return (da, u_next, i + 1, norm2(u_next))
+
+        da, _, _, _ = lax.while_loop(cond, body, (da0, cot, jnp.asarray(0), jnp.inf))
+        zero_env = jax.tree_util.tree_map(jnp.zeros_like, e)
+        return (da, zero_env)
+
+    converge.defvjp(fwd, bwd)
+    return converge
+
+
+def converge_env(a, env: EnvC4v, ctm_cfg) -> EnvC4v:
+    """Differentiable converged environment with the strategy selected by
+    ``ctm_cfg.grad_mode`` (see :class:`tpeps.config.CtmArgs`)."""
+    if ctm_cfg.grad_mode == "implicit":
+        fn = _make_converge_implicit(
+            True, 1.0e-12, ctm_cfg.ad_decomp_reg, ctm_cfg.ctm_absorb_normalization,
+            ctm_cfg.ctm_max_iter, ctm_cfg.ctm_conv_tol,
+            ctm_cfg.grad_adjoint_max_iter, ctm_cfg.grad_adjoint_tol,
+        )
+        return fn(a, env)
+    if ctm_cfg.grad_mode == "scan":
+        e0, _, _, _ = run_fixed_point(
+            lax.stop_gradient(a), env,
+            max_iter=ctm_cfg.ctm_max_iter, conv_tol=ctm_cfg.ctm_conv_tol,
+            ad_decomp_reg=ctm_cfg.ad_decomp_reg,
+            absorb_normalization=ctm_cfg.ctm_absorb_normalization,
+        )
+        e0 = lax.stop_gradient(e0)
+        return run_scan(a, e0, ctm_cfg.grad_tail_iter, ctm_cfg)
+    raise ValueError(f"Unknown grad_mode {ctm_cfg.grad_mode}")
+
+
+def run_scan(a, env: EnvC4v, n_iter: int, ctm_cfg) -> EnvC4v:
+    """Differentiable fixed window of checkpointed moves.
+
+    The analogue of the reference's backprop-through-CTMRG with
+    ``fwd_checkpoint_move`` (ctmrg_c4v.py:454-458): each move is
+    rematerialized in the backward pass (``jax.checkpoint``), so memory
+    is one environment + one move regardless of ``n_iter``.
+    """
+    move = partial(
+        ctm_move_sl,
+        ad_decomp_reg=ctm_cfg.ad_decomp_reg,
+        absorb_normalization=ctm_cfg.ctm_absorb_normalization,
+        sg_norm=True, gauge_fix=True,
+    )
+
+    def step(carry, _):
+        e, P_prev = carry
+        e2, _, P = move(a, e, P_prev)
+        return (e2, P), None
+
+    chi = env.C.shape[0]
+    D = a.shape[1]
+    P0 = jnp.zeros((chi * D * D, chi), dtype=env.C.dtype)
+    (env, _), _ = lax.scan(jax.checkpoint(step), (env, P0), None, length=n_iter)
+    return env

@@ -1,0 +1,161 @@
+"""Spin-1/2 J1-J2(-J3, staggered/uniform field, delta_zz, lambda) model.
+
+Counterpart of reference models/j1j2.py:46-925.  Hamiltonian terms are
+small constant tensors built once from the SU(2) operator algebra and
+baked into jitted energy contractions; energies consume RDMs from
+:mod:`tpeps.ctm.c4v.rdm` (and the generic RDMs for multi-site cells).
+"""
+
+from __future__ import annotations
+
+from math import sqrt
+
+import jax.numpy as jnp
+
+from ..ctm.c4v import rdm as rdm_c4v
+from ..ctm.c4v.env import EnvC4v
+from ..groups import su2
+
+
+def _cast_to_real(t):
+    return t.real if jnp.iscomplexobj(t) else t
+
+
+class J1J2:
+    """Common Hamiltonian-term construction (reference models/j1j2.py:46-186)."""
+
+    def __init__(
+        self, j1=1.0, j2=0.0, j3=0.0, hz_stag=0.0, delta_zz=1.0, lmbd=0.0,
+        h_uni=(0.0, 0.0, 0.0), dtype=jnp.float64,
+    ):
+        self.dtype = dtype
+        self.phys_dim = 2
+        self.j1, self.j2, self.j3 = j1, j2, j3
+        self.lmbd = lmbd
+        self.hz_stag = hz_stag
+        self.delta_zz = delta_zz
+        self.h_uni = jnp.asarray(h_uni, dtype=dtype)
+        self._h_uni_norm = float(sum(abs(h) ** 2 for h in h_uni) ** 0.5)
+
+        is_cplx = jnp.issubdtype(dtype, jnp.complexfloating)
+        if lmbd != 0 or h_uni[2] != 0:
+            assert is_cplx, "lambda / h^y terms require complex dtype"
+
+        s2 = su2.SU2(self.phys_dim, dtype=dtype)
+        id2 = s2.I_N(N=2)
+        id3 = s2.I_N(N=3)
+        kron = lambda x, y: jnp.einsum("ij,ab->iajb", x, y)
+
+        self.SS_delta_zz = s2.SS(xyz=(delta_zz, 1.0, 1.0))
+        self.SS = s2.SS()
+        h_uni_1x1 = jnp.einsum("x,xia->ia", self.h_uni, s2.S())
+        hz_2x1_nn = kron(s2.SZ(), s2.I()) + kron(s2.I(), -s2.SZ())
+        huni_2x1_nn = kron(h_uni_1x1, s2.I()) + kron(s2.I(), h_uni_1x1)
+
+        rot = s2.BP_rot()
+        rot2 = lambda op: jnp.einsum("ki,kjcb,ca->ijab", rot, op, rot)
+        self.SS_rot = rot2(self.SS)
+        self.SS_delta_zz_rot = rot2(self.SS_delta_zz)
+        self.hz_2x1_rot = rot2(hz_2x1_nn)
+        self.huni_2x1_rot = rot2(huni_2x1_nn)
+
+        # plaquette terms h_p such that e = <h_p> (reference j1j2.py:123-147)
+        h2x2_SS_dzz = jnp.einsum("ijab,klcd->ijklabcd", self.SS_delta_zz, id2)
+        h2x2_SS = jnp.einsum("ijab,klcd->ijklabcd", self.SS, id2)
+        h2x2_hz = jnp.einsum("ia,jklbcd->ijklabcd", s2.SZ(), id3)
+        h2x2_hu = jnp.einsum("ia,jklbcd->ijklabcd", h_uni_1x1, id3)
+
+        def get_hp(coord):
+            perm = lambda t, p: t.transpose(p)
+            hp = 0.5 * self.j1 * (
+                h2x2_SS_dzz
+                + perm(h2x2_SS_dzz, (0, 2, 1, 3, 4, 6, 5, 7))
+                + perm(h2x2_SS_dzz, (2, 3, 0, 1, 6, 7, 4, 5))
+                + perm(h2x2_SS_dzz, (3, 1, 2, 0, 7, 5, 6, 4))
+            ) + self.j2 * (
+                perm(h2x2_SS, (0, 3, 2, 1, 4, 7, 6, 5))
+                + perm(h2x2_SS, (2, 1, 0, 3, 6, 5, 4, 7))
+            ) - 0.25 * self.hz_stag * ((-1) ** (coord[0] + coord[1])) * (
+                h2x2_hz
+                - perm(h2x2_hz, (3, 0, 1, 2, 7, 4, 5, 6))
+                - perm(h2x2_hz, (2, 3, 0, 1, 6, 7, 4, 5))
+                + perm(h2x2_hz, (1, 2, 3, 0, 5, 6, 7, 4))
+            ) + 0.25 * (
+                h2x2_hu
+                + perm(h2x2_hu, (2, 3, 0, 1, 6, 7, 4, 5))
+                + perm(h2x2_hu, (3, 0, 1, 2, 7, 4, 5, 6))
+                + perm(h2x2_hu, (1, 2, 3, 0, 5, 6, 7, 4))
+            )
+            return hp
+
+        self.get_hp = get_hp
+        self.hp_rot = jnp.einsum(
+            "xj,yk,ixylauvd,ub,vc->ijklabcd", rot, rot, get_hp((0, 0)), rot, rot
+        )
+
+        self.obs_ops = self.get_obs_ops()
+
+    def get_obs_ops(self):
+        s2 = su2.SU2(self.phys_dim, dtype=self.dtype)
+        return {"sz": s2.SZ(), "sp": s2.SP(), "sm": s2.SM()}
+
+
+class J1J2_C4V_BIPARTITE(J1J2):
+    """J1-J2-J3 on the square lattice with a 1-site C4v ansatz and
+    bipartite sublattice rotation (reference models/j1j2.py:532-925)."""
+
+    def energy_1x1(self, a, env: EnvC4v):
+        """Energy per site from the full 2x2-plaquette RDM
+        (reference j1j2.py:592-641)."""
+        rho2x2 = rdm_c4v.rdm2x2(a, env, sym_pos_def=True)
+        e = jnp.einsum("ijklabcd,ijklabcd", rho2x2, self.hp_rot)
+        if abs(self.j3) > 0:
+            rho3x1 = rdm_c4v.rdm3x1(a, env, sym_pos_def=True)
+            ss31 = jnp.einsum("ijab,ijab", rho3x1, self.SS)
+            e = e + 2 * self.j3 * ss31
+        return _cast_to_real(e)
+
+    def energy_1x1_lowmem(self, a, env: EnvC4v):
+        """Energy per site from NN + NNN + 3x1 RDMs
+        (reference j1j2.py:643-679) — the canonical optimization target of
+        examples/j1j2/optim_j1j2_c4v.py."""
+        assert self.lmbd == 0, "energy_1x1_lowmem does not include the lambda term"
+        rho_nn = rdm_c4v.rdm2x2_NN_lowmem_sl(a, env, sym_pos_def=True)
+        e = 2.0 * self.j1 * jnp.einsum("ijkl,ijkl", rho_nn, self.SS_delta_zz_rot)
+        e = e - 0.5 * self.hz_stag * jnp.einsum("ijkl,ijkl", rho_nn, self.hz_2x1_rot)
+        if self._h_uni_norm > 0:
+            e = e + 0.5 * jnp.einsum("ijkl,ijkl", rho_nn, self.huni_2x1_rot)
+        if abs(self.j2) > 0:
+            rho_nnn = rdm_c4v.rdm2x2_NNN_lowmem_sl(a, env, sym_pos_def=True)
+            e = e + 2.0 * self.j2 * jnp.einsum("ijkl,ijkl", rho_nnn, self.SS)
+        if abs(self.j3) > 0:
+            rho3x1 = rdm_c4v.rdm3x1_sl(a, env, sym_pos_def=True)
+            e = e + 2 * self.j3 * jnp.einsum("ijab,ijab", rho3x1, self.SS)
+        return _cast_to_real(e)
+
+    def eval_obs(self, a, env: EnvC4v):
+        """Observables (m, <sz>, <sp>, <sm>, SS2x1, [SS_nnn], [SS3x1]) —
+        reference models/j1j2.py:722-783."""
+        obs = {}
+        if abs(self.j3) > 0:
+            rho3x1 = rdm_c4v.rdm3x1(a, env)
+            obs["SS3x1"] = complex(jnp.einsum("ijab,ijab", rho3x1, self.SS)).real
+        if abs(self.j2) > 0:
+            rho_nnn = rdm_c4v.rdm2x2_NNN_lowmem_sl(a, env)
+            obs["SS_nnn"] = complex(jnp.einsum("ijab,ijab", rho_nnn, self.SS)).real
+
+        rho2x1 = rdm_c4v.rdm2x1_sl(a, env)
+        obs["SS2x1"] = complex(jnp.einsum("ijab,ijab", rho2x1, self.SS_rot)).real
+
+        rho1x1 = jnp.einsum("ijaj->ia", rho2x1)
+        rho1x1 = rho1x1 / jnp.trace(rho1x1)
+        for label, op in self.obs_ops.items():
+            obs[label] = complex(jnp.trace(rho1x1 @ op))
+        obs["m"] = sqrt(abs(obs["sz"] ** 2 + obs["sp"] * obs["sm"]))
+
+        labels = ["m"] + list(self.obs_ops.keys()) + ["SS2x1"]
+        if abs(self.j2) > 0:
+            labels += ["SS_nnn"]
+        if abs(self.j3) > 0:
+            labels += ["SS3x1"]
+        return [obs[l] for l in labels], labels
