@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from ..ctm.c4v import rdm as rdm_c4v
 from ..ctm.c4v.env import EnvC4v
+from ..ctm.generic import rdm as rdm_gen
 from ..groups import su2
 
 
@@ -98,6 +99,64 @@ class J1J2:
     def get_obs_ops(self):
         s2 = su2.SU2(self.phys_dim, dtype=self.dtype)
         return {"sz": s2.SZ(), "sp": s2.SP(), "sm": s2.SM()}
+
+    # ------------------------------------------------------------------
+    # generic unit-cell energies (reference models/j1j2.py:187-475):
+    # all plaquette terms are aggregated in hp, so the energy is the
+    # average of <hp> over the non-equivalent 2x2 plaquettes.
+    # ------------------------------------------------------------------
+    def energy_per_site(self, state, env):
+        """Average plaquette energy over the unit cell
+        (reference models/j1j2.py:218-243 ``energy_per_site``)."""
+        assert self.j3 == 0 and self.lmbd == 0, "j3/lambda need correlators (TODO)"
+        sites, site_of = state.sites, state.vertexToSite
+        e = 0.0
+        for coord in sites:
+            rho = rdm_gen.rdm2x2(coord, sites, site_of, env.C, env.T)
+            e = e + jnp.einsum("ijklabcd,ijklabcd", rho, self.get_hp(coord))
+        return _cast_to_real(e / len(sites))
+
+    def energy_2x2_1site_BP(self, state, env):
+        """1-site ansatz with bipartite rotation: single rotated plaquette
+        (reference models/j1j2.py:187-217)."""
+        rho = rdm_gen.rdm2x2((0, 0), state.sites, state.vertexToSite, env.C, env.T)
+        e = jnp.einsum("ijklabcd,ijklabcd", rho, self.hp_rot)
+        return _cast_to_real(e)
+
+    # 2SITE/4SITE/8SITE tilings all evaluate the same plaquette average
+    # (reference models/j1j2.py:244-385)
+    energy_2x2_2site = energy_per_site
+    energy_2x2_4site = energy_per_site
+    energy_2x2_8site = energy_per_site
+
+    def eval_obs(self, state, env):
+        """Per-site magnetizations + all NN bond <S.S>
+        (reference models/j1j2.py:387-442)."""
+        sites, site_of = state.sites, state.vertexToSite
+        obs = {}
+        for coord in sites:
+            rho = rdm_gen.rdm1x1(coord, sites, site_of, env.C, env.T)
+            for label, op in self.obs_ops.items():
+                obs[f"{label}{coord}"] = complex(jnp.trace(rho @ op))
+            obs[f"m{coord}"] = sqrt(
+                abs(obs[f"sz{coord}"] ** 2 + obs[f"sp{coord}"] * obs[f"sm{coord}"])
+            )
+        for coord in sites:
+            rho_h = rdm_gen.rdm2x1(coord, sites, site_of, env.C, env.T)
+            rho_v = rdm_gen.rdm1x2(coord, sites, site_of, env.C, env.T)
+            obs[f"SS2x1{coord}"] = complex(
+                jnp.einsum("ijab,ijab", rho_h, self.SS_delta_zz)
+            ).real
+            obs[f"SS1x2{coord}"] = complex(
+                jnp.einsum("ijab,ijab", rho_v, self.SS_delta_zz)
+            ).real
+        labels = (
+            [f"m{c}" for c in sites]
+            + [f"{l}{c}" for c in sites for l in self.obs_ops]
+            + [f"SS2x1{c}" for c in sites]
+            + [f"SS1x2{c}" for c in sites]
+        )
+        return [obs[l] for l in labels], labels
 
 
 class J1J2_C4V_BIPARTITE(J1J2):
