@@ -1,0 +1,231 @@
+"""Generic-cell CTM stack tests: cross-validation vs reference +
+golden-observable regression on committed reference states
+(the strategy of reference examples/j1j2/ctmrg_j1j2.py:244-308)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import tpeps  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from tpeps.config import CtmArgs
+from tpeps.ctm.generic import corrf as m_corrf
+from tpeps.ctm.generic import rdm as m_rdm
+from tpeps.ctm.generic import transferops as m_top
+from tpeps.ctm.generic.components import corner_ld, corner_lu, corner_rd, corner_ru
+from tpeps.ctm.generic.ctmrg import run, run_differentiable
+from tpeps.ctm.generic.env import init_env
+from tpeps.groups.su2 import SU2
+from tpeps.ipeps.ipeps import IPEPS, read_ipeps
+from tpeps.models.j1j2 import J1J2
+
+from refutil import REF_PATH, import_reference, reference_available
+
+needs_ref = pytest.mark.skipif(not reference_available(), reason="reference not present")
+
+TEST_INPUT = os.path.join(REF_PATH, "test-input")
+
+
+def _random_state(lX=2, lY=2, d=2, D=2, seed=0):
+    rng = np.random.RandomState(seed)
+    sites = {
+        (x, y): jnp.asarray(rng.rand(d, D, D, D, D) - 0.5)
+        for x in range(lX)
+        for y in range(lY)
+    }
+    return IPEPS(sites, lX=lX, lY=lY)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    if not reference_available():
+        pytest.skip("reference not present")
+    import_reference()
+    import torch  # noqa: F401
+
+    class Ref:
+        pass
+
+    r = Ref()
+    r.torch = __import__("torch")
+    from ctm.generic import ctm_components, rdm
+    from ctm.generic.env import ENV, init_env as r_init
+
+    r.comp = ctm_components
+    r.rdm = rdm
+    r.ENV = ENV
+    r.init_env = r_init
+    return r
+
+
+class TestCrossValidation:
+    @needs_ref
+    def test_corners_and_rdms(self, ref):
+        chi = 8
+        state = _random_state(seed=5)
+        env = init_env(state, chi, "CTMRG")
+
+        rstate = __import__("ipeps.ipeps", fromlist=["IPEPS"]).IPEPS(
+            {c: ref.torch.from_numpy(np.asarray(t)) for c, t in state.sites.items()},
+            lX=2, lY=2,
+        )
+        renv = ref.ENV(chi, rstate)
+        ref.init_env(rstate, renv)
+
+        for k in renv.C:
+            assert np.abs(renv.C[k].numpy() - np.asarray(env.C[k])).max() < 1e-13
+        for k in renv.T:
+            assert np.abs(renv.T[k].numpy() - np.asarray(env.T[k])).max() < 1e-13
+
+        sites, site_of = state.sites, state.vertexToSite
+        corner_pairs = [
+            (corner_lu, ref.comp.c2x2_LU), (corner_ru, ref.comp.c2x2_RU),
+            (corner_rd, ref.comp.c2x2_RD), (corner_ld, ref.comp.c2x2_LD),
+        ]
+        for mine, theirs in corner_pairs:
+            mv = np.asarray(mine((0, 0), sites, site_of, env.C, env.T))
+            rv = theirs((0, 0), rstate, renv, mode="sl").numpy()
+            assert np.abs(mv - rv).max() < 1e-12
+
+        rdm_pairs = [
+            (m_rdm.rdm1x1, ref.rdm.rdm1x1), (m_rdm.rdm2x1, ref.rdm.rdm2x1),
+            (m_rdm.rdm1x2, ref.rdm.rdm1x2), (m_rdm.rdm2x2, ref.rdm.rdm2x2),
+            (m_rdm.rdm2x2_NNN_11, ref.rdm.rdm2x2_NNN_11),
+            (m_rdm.rdm2x2_NNN_1n1, ref.rdm.rdm2x2_NNN_1n1),
+        ]
+        for mine, theirs in rdm_pairs:
+            for coord in [(0, 0), (1, 0)]:
+                mv = np.asarray(mine(coord, sites, site_of, env.C, env.T))
+                rv = theirs(coord, rstate, renv).numpy()
+                assert np.abs(mv - rv).max() < 1e-10, mine.__name__
+
+
+class TestGolden:
+    """Golden observable values from reference CI
+    (examples/j1j2/ctmrg_j1j2.py:248-265, BASELINE.md)."""
+
+    @needs_ref
+    def test_2site_j2_055(self):
+        f = os.path.join(TEST_INPUT, "gesdd-D2-chi50-j20.55-run0-iRND2x1_state.json")
+        state = read_ipeps(f)
+        env = init_env(state, 32, "CTMRG")
+        env, _ = run(state, env, CtmArgs(ctm_max_iter=200, ctm_conv_tol=1e-10))
+        model = J1J2(j1=1.0, j2=0.55)
+        E = float(model.energy_2x2_2site(state, env))
+        assert abs(E - (-0.4434603770143078)) < 1e-6
+
+    @needs_ref
+    @pytest.mark.slow
+    def test_bipartite_j3_huni(self):
+        def bipartite(coord):
+            vx = (coord[0] + abs(coord[0]) * 2) % 2
+            vy = abs(coord[1])
+            return ((vx + vy) % 2, 0)
+
+        f = os.path.join(
+            TEST_INPUT, "BIPARTITE_j2_0_j3_1250_h_39000_D_3_chi_32_seed_100_state.json"
+        )
+        state = read_ipeps(f, vertexToSite=bipartite)
+        env = init_env(state, 32, "CTMRG")
+        env, _ = run(state, env, CtmArgs(ctm_max_iter=200, ctm_conv_tol=1e-10))
+        model = J1J2(j1=1.0, j3=0.125, h_uni=(3.9, 0, 0))
+        E = float(model.energy_2x2_2site(state, env))
+        assert abs(E - (-1.3896897615463615)) < 1e-6
+
+
+class TestCorrfTransferops:
+    @needs_ref
+    def test_corrf_and_spec_vs_reference(self, ref):
+        import config as rcfg
+        from ctm.generic import corrf as r_corrf, ctmrg as r_ctmrg, transferops as r_topm
+        from ctm.generic.env import ctmrg_conv_specC
+        from ipeps.ipeps import read_ipeps as r_read
+
+        f = os.path.join(TEST_INPUT, "gesdd-D2-chi50-j20.55-run0-iRND2x1_state.json")
+        chi = 12
+        rcfg.ctm_args.ctm_max_iter = 60
+        rstate = r_read(f)
+        renv = ref.ENV(chi, rstate)
+        ref.init_env(rstate, renv)
+        renv, *_ = r_ctmrg.run(rstate, renv, conv_check=ctmrg_conv_specC)
+
+        state = read_ipeps(f)
+        env = init_env(state, chi, "CTMRG")
+        env, _ = run(state, env, CtmArgs(ctm_max_iter=100, ctm_conv_tol=1e-9))
+
+        sz_r = ref.torch.diag(ref.torch.tensor([0.5, -0.5], dtype=ref.torch.float64))
+        r_cf = r_corrf.corrf_1sO1sO((0, 0), (1, 0), rstate, renv, sz_r, lambda r: sz_r, 3).numpy()
+        sz = SU2(2).SZ()
+        m_cf = np.asarray(
+            m_corrf.corrf_1sO1sO(
+                (0, 0), (1, 0), state.sites, state.vertexToSite, env.C, env.T,
+                sz, lambda r: sz, 3,
+            )
+        )
+        assert np.abs(m_cf - r_cf).max() < 1e-7
+
+        r_spec = r_topm.get_Top_spec(4, (0, 0), (1, 0), rstate, renv).numpy()
+        m_spec = np.asarray(m_top.get_Top_spec(4, (0, 0), (1, 0), state, env))
+        assert np.abs(np.abs(m_spec) - np.abs(r_spec)).max() < 1e-6
+
+    def test_corrf_down_direction(self):
+        state = _random_state(seed=9)
+        env = init_env(state, 8, "CTMRG")
+        env, _ = run(state, env, CtmArgs(ctm_max_iter=80, ctm_conv_tol=1e-9))
+        sz = SU2(2).SZ()
+        cf = np.asarray(
+            m_corrf.corrf_1sO1sO(
+                (0, 0), (0, 1), state.sites, state.vertexToSite, env.C, env.T,
+                sz, lambda r: sz, 2,
+            )
+        )
+        assert np.isfinite(cf).all()
+
+
+class TestGradientGeneric:
+    @pytest.mark.slow
+    def test_grad_vs_fd(self):
+        chi = 8
+        state = _random_state(lX=2, lY=1, seed=3)
+        cfg = CtmArgs(ctm_max_iter=150, ctm_conv_tol=1e-11, grad_tail_iter=25)
+        model = J1J2(j1=1.0, j2=0.55)
+
+        def norm_sites(sd):
+            return {c: t / jnp.linalg.norm(t) for c, t in sd.items()}
+
+        def loss(sd):
+            sd = norm_sites(sd)
+            st = state.set_parameters(sd)
+            env = init_env(
+                st.set_parameters(jax.tree_util.tree_map(jax.lax.stop_gradient, sd)),
+                chi, "CTMRG",
+            )
+            env, _ = run(st, env, cfg)
+            env = run_differentiable(sd, env, st, cfg)
+            return model.energy_per_site(st, env)
+
+        def loss_ng(sd):
+            sd = norm_sites(sd)
+            st = state.set_parameters(sd)
+            env = init_env(st, chi, "CTMRG")
+            env, _ = run(st, env, cfg)
+            return float(model.energy_per_site(st, env))
+
+        params = dict(state.sites)
+        val, grad = jax.value_and_grad(loss)(params)
+        gflat = np.concatenate([np.asarray(g).ravel() for g in grad.values()])
+        assert np.isfinite(gflat).all()
+
+        rng = np.random.RandomState(1)
+        eps = 1e-6
+        v = {c: rng.rand(*np.asarray(t).shape) - 0.5 for c, t in params.items()}
+        nrm = np.sqrt(sum(np.sum(x**2) for x in v.values()))
+        v = {c: x / nrm for c, x in v.items()}
+        pp = {c: params[c] + eps * jnp.asarray(v[c]) for c in params}
+        pm = {c: params[c] - eps * jnp.asarray(v[c]) for c in params}
+        fd = (loss_ng(pp) - loss_ng(pm)) / (2 * eps)
+        an = float(sum(jnp.sum(grad[c] * jnp.asarray(v[c])) for c in grad))
+        assert abs(fd - an) < 5e-2 * max(abs(fd), 1e-8)

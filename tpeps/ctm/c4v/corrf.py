@@ -1,0 +1,61 @@
+"""Correlation functions for the 1-site C4v iPEPS
+(counterpart of reference ctm/one_site_c4v/corrf_c4v.py:5-807)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .env import EnvC4v
+
+
+def get_edge(env: EnvC4v):
+    """Initial boundary edge C-T-C, ``[chi, D^2, chi]``
+    (reference corrf_c4v.py:4-27)."""
+    C, T = env
+    E = jnp.einsum("xy,xbm->ybm", C, T)
+    return jnp.einsum("ybm,bw->ymw", E, C)
+
+
+def _aXa(a, op=None):
+    d = a.shape
+    a_op = a if op is None else jnp.einsum("mefgh,mn->nefgh", a, op)
+    A = jnp.einsum("nefgh,nabcd->eafbgchd", a_op, jnp.conj(a))
+    return A.reshape(d[1] ** 2, d[2] ** 2, d[3] ** 2, d[4] ** 2)
+
+
+def apply_TM_1sO(a, env: EnvC4v, edge, op=None):
+    """Apply one transfer-matrix column to ``edge[chi, D^2, chi]``
+    (reference corrf_c4v.py:178-271)."""
+    T = env.T
+    A = _aXa(a, op)
+    E = jnp.einsum("tlb,qtu->lbqu", edge, T)
+    E = jnp.einsum("lbqu,uldr->bqdr", E, A)
+    return jnp.einsum("bqdr,bwd->qrw", E, T)
+
+
+def apply_edge(env: EnvC4v, vec):
+    """Contract ``vec`` with the closing C-T-C edge
+    (reference corrf_c4v.py:57-86)."""
+    C, T = env
+    S = jnp.einsum("vmw,vx->mwx", vec, C)
+    S = jnp.einsum("mwx,bxm->wb", S, T)
+    return jnp.einsum("wb,bw->", S, C)
+
+
+def corrf_1sO1sO(a, env: EnvC4v, op1, get_op2, dist: int):
+    """<O1(0) O2(r)> for r in [0, dist] (reference corrf_c4v.py:309-380)."""
+    E0 = get_edge(env)
+    E1 = apply_TM_1sO(a, env, E0, op=op1)
+    E0 = apply_TM_1sO(a, env, E0)
+    out = []
+    for r in range(dist + 1):
+        E12 = apply_TM_1sO(a, env, E1, op=get_op2(r))
+        E0 = apply_TM_1sO(a, env, E0)
+        E1 = apply_TM_1sO(a, env, E1)
+        num = apply_edge(env, E12)
+        den = apply_edge(env, E0)
+        out.append(num / den)
+        scale = jnp.abs(E0).max()
+        E0 = E0 / scale
+        E1 = E1 / scale
+    return jnp.stack(out)

@@ -12,8 +12,10 @@ from math import sqrt
 
 import jax.numpy as jnp
 
+from ..ctm.c4v import corrf as corrf_c4v
 from ..ctm.c4v import rdm as rdm_c4v
 from ..ctm.c4v.env import EnvC4v
+from ..ctm.generic import corrf as corrf_gen
 from ..ctm.generic import rdm as rdm_gen
 from ..groups import su2
 
@@ -105,15 +107,36 @@ class J1J2:
     # all plaquette terms are aggregated in hp, so the energy is the
     # average of <hp> over the non-equivalent 2x2 plaquettes.
     # ------------------------------------------------------------------
+    def eval_nnnn_per_site(self, coord, state, env):
+        """Next-to-next nearest neighbour <S.S> at distance 2 in x and y
+        (reference models/j1j2.py:27-45)."""
+        sites, site_of = state.sites, state.vertexToSite
+        ops = self.obs_ops
+
+        def cf(direction, o1, o2):
+            return corrf_gen.corrf_1sO1sO(
+                coord, direction, sites, site_of, env.C, env.T, o1, lambda r: o2, 2
+            )[1]
+
+        nnnn = 0.0
+        for direction in [(1, 0), (0, 1)]:
+            nnnn = nnnn + cf(direction, ops["sz"], ops["sz"])
+            nnnn = nnnn + 0.5 * (
+                cf(direction, ops["sp"], ops["sm"]) + cf(direction, ops["sm"], ops["sp"])
+            )
+        return nnnn
+
     def energy_per_site(self, state, env):
         """Average plaquette energy over the unit cell
         (reference models/j1j2.py:218-243 ``energy_per_site``)."""
-        assert self.j3 == 0 and self.lmbd == 0, "j3/lambda need correlators (TODO)"
+        assert self.lmbd == 0, "lambda term not yet supported for generic cells"
         sites, site_of = state.sites, state.vertexToSite
         e = 0.0
         for coord in sites:
             rho = rdm_gen.rdm2x2(coord, sites, site_of, env.C, env.T)
             e = e + jnp.einsum("ijklabcd,ijklabcd", rho, self.get_hp(coord))
+            if abs(self.j3) > 0:
+                e = e + self.j3 * self.eval_nnnn_per_site((0, 0), state, env)
         return _cast_to_real(e / len(sites))
 
     def energy_2x2_1site_BP(self, state, env):
@@ -218,3 +241,21 @@ class J1J2_C4V_BIPARTITE(J1J2):
         if abs(self.j3) > 0:
             labels += ["SS3x1"]
         return [obs[l] for l in labels], labels
+
+    def eval_corrf_SS(self, a, env: EnvC4v, dist: int):
+        """Spin-spin correlations <S(0).S(r)> with bipartite rotation of
+        the second operator (reference models/j1j2.py:803-857)."""
+        sz = self.obs_ops["sz"]
+        sx = 0.5 * (self.obs_ops["sp"] + self.obs_ops["sm"])
+        isy = -0.5 * (self.obs_ops["sp"] - self.obs_ops["sm"])  # i*Sy
+
+        rot = su2.get_rot_op(self.phys_dim, dtype=self.dtype)
+
+        def bilat(op):
+            op_rot = jnp.einsum("ki,kl,lj->ij", rot, op, rot)
+            return lambda r: op_rot if r % 2 == 0 else op
+
+        szsz = corrf_c4v.corrf_1sO1sO(a, env, sz, bilat(sz), dist)
+        sxsx = corrf_c4v.corrf_1sO1sO(a, env, sx, bilat(sx), dist)
+        nsysy = corrf_c4v.corrf_1sO1sO(a, env, isy, bilat(isy), dist)
+        return {"ss": szsz + sxsx - nsysy, "szsz": szsz, "sxsx": sxsx, "sysy": -nsysy}
