@@ -196,15 +196,18 @@ class TestGradientGeneric:
         def norm_sites(sd):
             return {c: t / jnp.linalg.norm(t) for c, t in sd.items()}
 
+        # two-phase driver pattern: converge without AD on the host,
+        # then differentiate the checkpointed tail (run() is a host loop
+        # and must not be called under tracing)
+        sd0 = norm_sites(dict(state.sites))
+        st0 = state.set_parameters(sd0)
+        env0 = init_env(st0, chi, "CTMRG")
+        env0, _ = run(st0, env0, cfg)
+
         def loss(sd):
             sd = norm_sites(sd)
             st = state.set_parameters(sd)
-            env = init_env(
-                st.set_parameters(jax.tree_util.tree_map(jax.lax.stop_gradient, sd)),
-                chi, "CTMRG",
-            )
-            env, _ = run(st, env, cfg)
-            env = run_differentiable(sd, env, st, cfg)
+            env = run_differentiable(sd, env0, st, cfg)
             return model.energy_per_site(st, env)
 
         def loss_ng(sd):

@@ -34,7 +34,29 @@ import jax.numpy as jnp
 from jax import lax
 
 from ...linalg.eigh import fix_eigvec_phase, truncated_eigh_sym
+from ...linalg.power import cold_start_basis, procrustes_align, subspace_eigh
 from .env import EnvC4v
+
+
+def _ct_tl(a, C, T):
+    """Shared C-Ttop-Tleft prefix as ``q[(j,m,v,i), (u,l)]`` ready for the
+    ket-layer matmul (dims fused into large 2D shapes — XLA:TPU pads
+    tiny trailing dims to full (8,128) tiles, so einsum graphs with many
+    size-D axes waste up to ~18x HBM; explicit fused matmuls avoid it).
+    """
+    chi = C.shape[0]
+    D = a.shape[1]
+    # ct[x, (u,v,i)] = C[x,y] Ttop[y,(u,v,i)]; top-T enters with its
+    # right index leading in storage [i,y,u,v] -> bring y first
+    Tt = T.reshape(chi, chi, D, D).transpose(1, 2, 3, 0).reshape(chi, D * D * chi)
+    ct = C @ Tt  # (chi, D^2 chi): x, (u,v,i)
+    # q[(j,l,m),(u,v,i)] = Tl[x,(j,l,m)]^T ct[x,(u,v,i)]
+    Tl = T.reshape(chi, chi * D * D)
+    q = Tl.T @ ct  # (chi D^2, D^2 chi)
+    # rearrange to rows (j,m,v,i), cols (u,l)
+    q = q.reshape(chi, D, D, D, D, chi)  # j,l,m,u,v,i
+    q = q.transpose(0, 2, 4, 5, 3, 1).reshape(chi * D * D * chi, D * D)
+    return q
 
 
 def c2x2_sl(a, C, T):
@@ -42,22 +64,24 @@ def c2x2_sl(a, C, T):
 
     Row index = (down-chi, down-ket, down-bra), column index =
     (right-chi, right-ket, right-bra), matching reference
-    ctm_components_c4v.py:52-130.  Cost O(chi^2 D^6 + chi^2 D^4 d);
-    every contraction is a large matmul for the MXU.
+    ctm_components_c4v.py:52-130.  Cost O(chi^2 D^4 (D^2 + d)); every
+    contraction is a large fused-dimension matmul for the MXU.
     """
     chi = C.shape[0]
     D = a.shape[1]
-    T4 = T.reshape(chi, chi, D, D)
-    # C--T(top): contract C's right with top-T's left; x=C-down, i=T-right
-    ct = jnp.einsum("xy,iyuv->xiuv", C, T4)
-    # attach left T: x contracts top-left-T junction; j=left-T-down
-    q = jnp.einsum("xiuv,xjlm->iuvjlm", ct, T4)
-    # ket layer: contract a over (up, left)
-    q = jnp.einsum("iuvjlm,suler->ivjmser", q, a)
-    # bra layer: contract conj(a) over (up, left, phys)
-    out = jnp.einsum("ivjmser,svmfg->jefirg", q, jnp.conj(a))
-    # [j, e(dk), f(db), i, r(rk), g(rb)] -> matrix
-    return out.reshape(chi * D * D, chi * D * D)
+    d = a.shape[0]
+    q = _ct_tl(a, C, T)  # [(j,m,v,i),(u,l)]
+    # ket layer: (u,l) x a[(u,l),(s,e,r)]
+    a_k = a.transpose(1, 2, 0, 3, 4).reshape(D * D, d * D * D)
+    q = q @ a_k  # [(j,m,v,i),(s,e,r)]
+    # bra layer: (m,v,s) x conj(a)[(m,v,s),(f,g)]
+    q = q.reshape(chi, D, D, chi, d, D, D)  # j,m,v,i,s,e,r
+    q = q.transpose(0, 3, 5, 6, 1, 2, 4).reshape(chi * chi * D * D, D * D * d)
+    a_b = jnp.conj(a).transpose(2, 1, 0, 3, 4).reshape(D * D * d, D * D)
+    q = q @ a_b  # [(j,i,e,r),(f,g)]
+    q = q.reshape(chi, chi, D, D, D, D)  # j,i,e,r,f,g
+    q = q.transpose(0, 2, 4, 1, 3, 5).reshape(chi * D * D, chi * D * D)
+    return q
 
 
 def open_c2x2_sl(a, C, T):
@@ -70,31 +94,50 @@ def open_c2x2_sl(a, C, T):
     chi = C.shape[0]
     D = a.shape[1]
     d = a.shape[0]
-    T4 = T.reshape(chi, chi, D, D)
-    ct = jnp.einsum("xy,iyuv->xiuv", C, T4)
-    q = jnp.einsum("xiuv,xjlm->iuvjlm", ct, T4)
-    q = jnp.einsum("iuvjlm,suler->ivjmser", q, a)
-    out = jnp.einsum("ivjmser,zvmfg->jefirgsz", q, jnp.conj(a))
-    return out.reshape(chi * D * D, chi * D * D, d, d)
+    q = _ct_tl(a, C, T)
+    a_k = a.transpose(1, 2, 0, 3, 4).reshape(D * D, d * D * D)
+    q = q @ a_k
+    # bra layer keeping both physical indices open: contract (m,v) only
+    q = q.reshape(chi, D, D, chi, d, D, D)  # j,m,v,i,s,e,r
+    q = q.transpose(0, 3, 4, 5, 6, 1, 2).reshape(chi * chi * d * D * D, D * D)
+    a_b = jnp.conj(a).transpose(2, 1, 0, 3, 4).reshape(D * D, d * D * D)
+    q = q @ a_b  # [(j,i,s,e,r),(z,f,g)]
+    q = q.reshape(chi, chi, d, D, D, d, D, D)  # j,i,s,e,r,z,f,g
+    q = q.transpose(0, 3, 6, 1, 4, 7, 2, 5).reshape(chi * D * D, chi * D * D, d, d)
+    return q
 
 
 def _absorb_T(a, T, P4):
     """Renormalize the half-row tensor: T' = P^H (T a a*) P, layer by layer
-    (reference ctmrg_c4v.py:380-445)."""
+    (reference ctmrg_c4v.py:380-445) — fused-dimension matmuls throughout
+    (see :func:`_ct_tl` for why)."""
     chi = T.shape[0]
     D = a.shape[1]
-    T4 = T.reshape(chi, chi, D, D)
-    # P[c,(u,v),p] contracts the up-chi of the left T
-    z = jnp.einsum("cuvp,cdlm->uvpdlm", P4, T4)
-    # ket layer over (up, left)
-    z = jnp.einsum("uvpdlm,suler->vpdmser", z, a)
-    # bra layer over (up, left, phys)
-    z = jnp.einsum("vpdmser,svmfg->pderfg", z, jnp.conj(a))
-    # close with P* over (down-chi, dk, db)
-    nT = jnp.einsum("pderfg,defq->pqrg", z, jnp.conj(P4))
+    d = a.shape[0]
+    chi_n = P4.shape[-1]
+    # z[(u,v,p),(d,l,m)] = P[c,(u,v,p)]^T T[c,(d,l,m)]
+    P_r = P4.reshape(chi, D * D * chi_n)
+    T_r = T.reshape(chi, chi * D * D)
+    z = P_r.T @ T_r  # (D^2 chi', chi D^2)
+    # ket layer: rows (v,p,d,m), cols (u,l)
+    z = z.reshape(D, D, chi_n, chi, D, D)  # u,v,p,d,l,m
+    z = z.transpose(1, 2, 3, 5, 0, 4).reshape(D * chi_n * chi * D, D * D)
+    a_k = a.transpose(1, 2, 0, 3, 4).reshape(D * D, d * D * D)
+    z = z @ a_k  # [(v,p,d,m),(s,e,r)]
+    # bra layer: rows (p,d,e,r), cols (m,v,s)
+    z = z.reshape(D, chi_n, chi, D, d, D, D)  # v,p,d,m,s,e,r
+    z = z.transpose(1, 2, 5, 6, 3, 0, 4).reshape(chi_n * chi * D * D, D * D * d)
+    a_b = jnp.conj(a).transpose(2, 1, 0, 3, 4).reshape(D * D * d, D * D)
+    z = z @ a_b  # [(p,d,e,r),(f,g)]
+    # close with P*: rows (p,r,g), cols (d,e,f)
+    z = z.reshape(chi_n, chi, D, D, D, D)  # p,d,e,r,f,g
+    z = z.transpose(0, 3, 5, 1, 2, 4).reshape(chi_n * D * D, chi * D * D)
+    Pc = jnp.conj(P4).reshape(chi * D * D, chi_n)
+    nT = z @ Pc  # [(p,r,g), q]
+    nT = nT.reshape(chi_n, D * D, chi_n).transpose(0, 2, 1)  # p,q,(r,g)
     # hermitian-symmetrize T'_{ija} = (T'_{ija} + T'*_{jia})/2 (ctmrg_c4v.py:447)
-    nT = 0.5 * (nT + jnp.conj(nT.transpose(1, 0, 2, 3)))
-    return nT.reshape(chi, chi, D * D)
+    nT = 0.5 * (nT + jnp.conj(nT.transpose(1, 0, 2)))
+    return nT
 
 
 def fix_phase_continuity(P, P_ref):
@@ -131,6 +174,8 @@ def ctm_move_sl(
     absorb_normalization: str = "inf",
     sg_norm: bool = True,
     gauge_fix: bool = True,
+    projector_method: str = "SYMEIG",
+    n_power: int = 2,
 ):
     """One C4v CTMRG step (reference ``ctm_MOVE_sl``, ctmrg_c4v.py:325-464).
 
@@ -158,21 +203,38 @@ def ctm_move_sl(
 
     M = c2x2_sl(a, C, T)
     M = 0.5 * (M + M.conj().T)
-    Dspec, P = truncated_eigh_sym(
-        M, chi, keep_multiplets=keep_multiplets,
-        ad_decomp_reg=ad_decomp_reg, eps_multiplet=eps_multiplet,
-    )
+    if projector_method == "POWER":
+        # warm-started subspace iteration: MXU matmuls + (chi x chi)
+        # Rayleigh-Ritz only — the TPU-native projector (XLA's dense
+        # eigh has pathological compile times at chi*D^2 scale)
+        P0 = P_ref if P_ref is not None else cold_start_basis(M.shape[0], chi, M.dtype)
+        Dspec, P = subspace_eigh(
+            M, P0, n_power=n_power, keep_multiplets=keep_multiplets,
+            eps_multiplet=eps_multiplet, ad_decomp_reg=ad_decomp_reg,
+        )
+    else:
+        Dspec, P = truncated_eigh_sym(
+            M, chi, keep_multiplets=keep_multiplets,
+            ad_decomp_reg=ad_decomp_reg, eps_multiplet=eps_multiplet,
+        )
+    W = None
     if gauge_fix:
         if P_ref is None:
             P = fix_eigvec_phase(P)
         else:
-            P = fix_phase_continuity(P, P_ref)
+            # full-basis Procrustes continuity: pins phases AND rotations
+            # inside degenerate multiplets -> elementwise fixed point
+            P, W = procrustes_align(P, P_ref)
 
     scale_C = jnp.abs(Dspec[0])
     if sg_norm:
         scale_C = lax.stop_gradient(scale_C)
     spec = Dspec / scale_C
-    nC = jnp.diag(spec.astype(C.dtype))
+    if W is None:
+        nC = jnp.diag(spec.astype(C.dtype))
+    else:
+        # C in the rotated basis: W^H diag(spec) W (hermitian, non-diagonal)
+        nC = (W.conj().T * spec.astype(C.dtype)[None, :]) @ W
 
     nT = _absorb_T(a, T, P.reshape(chi, D, D, chi))
     if absorb_normalization == "inf":
@@ -191,6 +253,7 @@ def ctm_move_sl(
     static_argnames=(
         "max_iter", "conv_tol", "keep_multiplets", "eps_multiplet",
         "ad_decomp_reg", "absorb_normalization", "conv_on",
+        "projector_method", "n_power",
     ),
 )
 def run_fixed_point(
@@ -204,6 +267,8 @@ def run_fixed_point(
     ad_decomp_reg: float = 1.0e-12,
     absorb_normalization: str = "inf",
     conv_on: str = "spec",
+    projector_method: str = "SYMEIG",
+    n_power: int = 2,
 ):
     """Run CTMRG to convergence fully on-device (no AD through this).
 
@@ -227,12 +292,15 @@ def run_fixed_point(
         keep_multiplets=keep_multiplets, eps_multiplet=eps_multiplet,
         ad_decomp_reg=ad_decomp_reg, absorb_normalization=absorb_normalization,
         sg_norm=True, gauge_fix=True,
+        projector_method=projector_method, n_power=n_power,
     )
     chi = env.C.shape[0]
     D = a.shape[1]
     rdtype = env.C.real.dtype
     spec0 = jnp.full((chi,), jnp.inf, dtype=rdtype)
-    P0 = jnp.zeros((chi * D * D, chi), dtype=env.C.dtype)
+    # full-rank gauge reference: the Procrustes alignment needs a
+    # non-degenerate overlap with the first projector
+    P0 = cold_start_basis(chi * D * D, chi, env.C.dtype)
 
     def cond(carry):
         _, _, _, dist, i = carry
@@ -373,6 +441,6 @@ def run_scan(a, env: EnvC4v, n_iter: int, ctm_cfg) -> EnvC4v:
 
     chi = env.C.shape[0]
     D = a.shape[1]
-    P0 = jnp.zeros((chi * D * D, chi), dtype=env.C.dtype)
+    P0 = cold_start_basis(chi * D * D, chi, env.C.dtype)
     (env, _), _ = lax.scan(jax.checkpoint(step), (env, P0), None, length=n_iter)
     return env

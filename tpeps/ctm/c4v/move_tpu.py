@@ -1,0 +1,213 @@
+"""TPU-layout C4v CTMRG move: layout-aware contractions for HBM efficiency.
+
+XLA:TPU tiles the two minor dimensions of every materialized array to
+(8, 128); any intermediate whose minor dims are O(D) wastes up to ~20x
+HBM in padding (measured: the einsum/naive-matmul moves OOM a 16 GB chip
+at D=7, chi=147 despite ~1 GB of actual data).  This module implements
+the same move as :func:`tpeps.ctm.c4v.ctmrg.ctm_move_sl` with
+``projector_method="POWER"`` but with
+
+* the environment edge kept in layout ``T[k, b, chi0, chi1]``
+  (ket, bra, chi, chi — large dims minor),
+* every ``dot_general`` arranged so its output trails with chi-sized
+  dims (operand order chooses which free dims go last),
+* the enlarged corner never materialized as a (chi D^2, chi D^2) matrix:
+  it stays in factored 6-dim form ``M6[f,g,e,r,j,i]`` and the subspace
+  iteration applies it as an operator.
+
+Numerically identical to the reference-layout POWER move (validated in
+tests); used by the benchmark and any large-D TPU run.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ...linalg.eigh import eigh_desc, multiplet_mask
+from ...linalg.power import cholesky_qr2, cold_start_basis, procrustes_align
+from .env import EnvC4v
+
+
+def to_tpu_layout(T, D: int):
+    """Public ``T[chi0, chi1, D^2]`` -> internal ``T[k, b, chi0, chi1]``."""
+    chi = T.shape[0]
+    return T.reshape(chi, chi, D, D).transpose(2, 3, 0, 1)
+
+
+def from_tpu_layout(T_int):
+    """Internal ``T[k, b, chi0, chi1]`` -> public ``T[chi0, chi1, D^2]``."""
+    D, _, chi, _ = T_int.shape
+    return T_int.transpose(2, 3, 0, 1).reshape(chi, chi, D * D)
+
+
+def _c2x2_factored(a, C, T_int):
+    """Enlarged corner in factored form ``M6[f, g, e, r, j, i]`` with the
+    hermitian pairing rows=(j,e,f) [down-chi, ket, bra], cols=(i,r,g).
+
+    All intermediates trail with chi-sized dims.
+    """
+    D = a.shape[1]
+    chi = C.shape[0]
+    # top edge: chi0=i(right), chi1=y(left); ct[x,u,v,i] = C[x,y] Tt[u,v,i,y]
+    Tt_r = T_int.transpose(3, 0, 1, 2).reshape(chi, D * D * chi)  # y,(u,v,i)
+    ct = (C @ Tt_r).reshape(chi, D, D, chi)  # x,u,v,i
+    # left edge: chi0=x(up), chi1=j(down); contract x
+    q = lax.dot_general(T_int, ct, (((2,), (0,)), ((), ())))  # (l,m,j)+(u,v,i)
+    # ket layer: contract a(u,l) with q(u=3, l=0)
+    q = lax.dot_general(a, q, (((1, 2), (3, 0)), ((), ())))  # (s,e,r)+(m,j,v,i)
+    # bra layer: contract conj(a)(s,v,m) with q(s=0, v=5, m=3)
+    M6 = lax.dot_general(jnp.conj(a), q, (((0, 1, 2), (0, 5, 3)), ((), ())))
+    return M6  # (f,g)+(e,r,j,i)
+
+
+def _m_apply(M6, P2d, chi: int, D: int):
+    """Apply the factored corner: ``Y = M @ P`` with P rows = (j,e,f).
+
+    ``M`` cols = (i, r, g); P rows reshaped (i, r, g, p).
+    """
+    P4 = P2d.reshape(chi, D, D, -1)
+    # contract (i=5, r=3, g=1) with (0, 1, 2)
+    Y = lax.dot_general(M6, P4, (((5, 3, 1), (0, 1, 2)), ((), ())))  # (f,e,j,p)
+    Y = Y.transpose(2, 1, 0, 3)  # (j,e,f,p) — minor stays chi'
+    return Y.reshape(chi * D * D, -1)
+
+
+def _subspace_eigh_op(m_apply, P0, chi: int, n_power: int,
+                      eps_multiplet: float, ad_decomp_reg: float):
+    """Operator-form warm-started subspace iteration
+    (see :func:`tpeps.linalg.power.subspace_eigh`)."""
+    n = P0.shape[0]
+    colnorm = jnp.linalg.norm(lax.stop_gradient(P0), axis=0)
+    fallback = jnp.eye(n, chi, dtype=P0.dtype)
+    P = jnp.where(colnorm[None, :] > 1e-12, P0, fallback)
+    P = cholesky_qr2(P)
+    for _ in range(n_power):
+        P = cholesky_qr2(m_apply(P))
+    Y = m_apply(P)
+    H = P.conj().T @ Y
+    H = 0.5 * (H + H.conj().T)
+    Dv, U = eigh_desc(H, ad_decomp_reg)
+    P = P @ U
+    Dpad = jnp.concatenate([Dv, jnp.zeros((1,), dtype=Dv.dtype)])
+    mask = multiplet_mask(Dpad, chi, eps_multiplet=eps_multiplet)
+    return Dv * mask, P * mask[None, :]
+
+
+def _absorb_T_int(a, T_int, P2d, chi: int, chi_n: int):
+    """T' = P^H (T a a*) P in internal layout; returns ``T'[k,b,chi',chi']``."""
+    D = a.shape[1]
+    # z1[(d,l,m),(u,v,p)] = T[x,(d,l,m)]^T P[x,(u,v,p)]
+    # T_int (l, m, x, d): rows x -> arrange (x, d, l, m)? use dot_general:
+    # contract T chi0(=x up) with P's chi rows
+    P4 = P2d.reshape(chi, D, D, chi_n)  # (c, u, v, p)
+    z = lax.dot_general(T_int, P4, (((2,), (0,)), ((), ())))  # (l,m,d)+(u,v,p)
+    # ket layer: contract a(u=1, l=2) with z(u=3, l=0)
+    z = lax.dot_general(a, z, (((1, 2), (3, 0)), ((), ())))  # (s,e,r)+(m,d,v,p)
+    # bra layer: contract conj(a)(s=0, v=1, m=2) with z(s=0, v=5, m=3)
+    z = lax.dot_general(jnp.conj(a), z, (((0, 1, 2), (0, 5, 3)), ((), ())))
+    # z = (f,g)+(e,r,d,p)
+    # close with conj(P): contract (c=chi, u=ket-down, v=bra-down) with
+    # z (d=4, e=2, f=0)
+    nT = lax.dot_general(jnp.conj(P4), z, (((0, 1, 2), (4, 2, 0)), ((), ())))
+    # nT = (q)+(g,r,p) -> internal layout (k=r, b=g, chi_top=p, chi_bot=q)
+    nT = nT.transpose(2, 1, 3, 0)
+    return nT
+
+
+def ctm_move_sl_tpu(
+    a,
+    C,
+    T_int,
+    P_ref,
+    *,
+    n_power: int = 2,
+    eps_multiplet: float = 1.0e-12,
+    ad_decomp_reg: float = 1.0e-12,
+    absorb_normalization: str = "inf",
+    sg_norm: bool = True,
+):
+    """One C4v move in TPU layout.  Returns ``(C', T'_int, spec, P)``."""
+    chi = C.shape[0]
+    D = a.shape[1]
+    M6 = _c2x2_factored(a, C, T_int)
+    # hermitian-symmetrize via the operator: (M + M^H)/2 applied lazily —
+    # M is hermitian up to roundoff for C4v states; symmetrize H instead
+    m_apply = partial(_m_apply, M6, chi=chi, D=D)
+    Dspec, P = _subspace_eigh_op(
+        m_apply, P_ref, chi, n_power, eps_multiplet, ad_decomp_reg
+    )
+    P, W = procrustes_align(P, P_ref)
+
+    scale_C = jnp.abs(Dspec[0])
+    if sg_norm:
+        scale_C = lax.stop_gradient(scale_C)
+    spec = Dspec / scale_C
+    nC = (W.conj().T * spec.astype(C.dtype)[None, :]) @ W
+
+    nT = _absorb_T_int(a, T_int, P, chi, chi)
+    # hermitian symmetrization T'_{ija} = (T'_{ija}+T'*_{jia})/2 in
+    # internal layout: swap the two chi axes
+    nT = 0.5 * (nT + jnp.conj(nT.transpose(0, 1, 3, 2)))
+    if absorb_normalization == "inf":
+        scale_T = jnp.abs(nT).max()
+    else:
+        scale_T = jnp.linalg.norm(nT.ravel())
+    if sg_norm:
+        scale_T = lax.stop_gradient(scale_T)
+    nT = nT / scale_T
+    return nC, nT, spec, P
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_iter", "conv_tol", "n_power", "eps_multiplet",
+                     "ad_decomp_reg", "absorb_normalization", "conv_on"),
+)
+def run_fixed_point_tpu(
+    a,
+    env: EnvC4v,
+    *,
+    max_iter: int = 100,
+    conv_tol: float = 1.0e-8,
+    n_power: int = 2,
+    eps_multiplet: float = 1.0e-12,
+    ad_decomp_reg: float = 1.0e-12,
+    absorb_normalization: str = "inf",
+    conv_on: str = "spec",
+):
+    """CTMRG to convergence with the TPU-layout move; public-layout env in
+    and out.  Same contract as :func:`tpeps.ctm.c4v.ctmrg.run_fixed_point`.
+    """
+    chi = env.C.shape[0]
+    D = a.shape[1]
+    rdtype = env.C.real.dtype
+    T_int = to_tpu_layout(env.T, D)
+    P0 = cold_start_basis(chi * D * D, chi, env.C.dtype)
+    spec0 = jnp.full((chi,), jnp.inf, dtype=rdtype)
+
+    move = partial(
+        ctm_move_sl_tpu, n_power=n_power, eps_multiplet=eps_multiplet,
+        ad_decomp_reg=ad_decomp_reg, absorb_normalization=absorb_normalization,
+    )
+
+    def cond(carry):
+        _, _, _, _, dist, i = carry
+        return jnp.logical_and(i < max_iter, dist > conv_tol)
+
+    def body(carry):
+        C, T, P_prev, spec_prev, _, i = carry
+        C2, T2, spec, P = move(a, C, T, P_prev)
+        if conv_on == "env":
+            dist = jnp.maximum(jnp.abs(C2 - C).max(), jnp.abs(T2 - T).max())
+        else:
+            dist = jnp.linalg.norm(jnp.abs(spec) - jnp.abs(spec_prev))
+        dist = jnp.where(jnp.isfinite(dist), dist, jnp.inf)
+        return (C2, T2, P, jnp.abs(spec), dist, i + 1)
+
+    carry = (env.C, T_int, P0, spec0, jnp.asarray(jnp.inf, dtype=rdtype), jnp.asarray(0))
+    C, T_int, P, _, dist, n_iter = lax.while_loop(cond, body, carry)
+    return EnvC4v(C, from_tpu_layout(T_int)), n_iter, dist, P
