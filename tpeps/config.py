@@ -215,8 +215,20 @@ def get_args_parser() -> argparse.ArgumentParser:
 
 
 def configure(parsed_args) -> Config:
-    """Build an immutable Config from parsed CLI args (reference config.py:81-129)."""
+    """Build an immutable Config from parsed CLI args (reference config.py:81-129).
+
+    If ``--GLOBALARGS_device`` is set (e.g. "cpu", "tpu"), the JAX
+    platform is selected accordingly.  This must override the config
+    explicitly because hosted-TPU sitecustomize hooks force-register
+    their platform regardless of ``JAX_PLATFORMS``.
+    """
     ns = vars(parsed_args)
+    dev = ns.get("GLOBALARGS_device")
+    if dev:
+        import jax
+
+        platform = "cpu" if dev.startswith("cpu") else dev
+        jax.config.update("jax_platforms", platform)
 
     def collect(prefix, cls):
         kwargs = {}

@@ -25,6 +25,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ...linalg.eigh import eigh_desc, multiplet_mask
@@ -44,23 +45,37 @@ def from_tpu_layout(T_int):
     return T_int.transpose(2, 3, 0, 1).reshape(chi, chi, D * D)
 
 
-def _c2x2_factored(a, C, T_int):
+def _c2x2_factored(a, C, T_int, slice_phys: bool = False):
     """Enlarged corner in factored form ``M6[f, g, e, r, j, i]`` with the
     hermitian pairing rows=(j,e,f) [down-chi, ket, bra], cols=(i,r,g).
 
-    All intermediates trail with chi-sized dims.
+    All intermediates trail with chi-sized dims.  ``slice_phys`` slices
+    the ket/bra pair over the physical index (the only index coupling
+    the two layers), dividing the O(chi^2 D^4 d) peak intermediate by d —
+    needed at D>=7 in f64 on a 16 GB chip (f64 is software-emulated at
+    32 B/element on TPU v5e).
     """
     D = a.shape[1]
+    d = a.shape[0]
     chi = C.shape[0]
     # top edge: chi0=i(right), chi1=y(left); ct[x,u,v,i] = C[x,y] Tt[u,v,i,y]
     Tt_r = T_int.transpose(3, 0, 1, 2).reshape(chi, D * D * chi)  # y,(u,v,i)
     ct = (C @ Tt_r).reshape(chi, D, D, chi)  # x,u,v,i
     # left edge: chi0=x(up), chi1=j(down); contract x
-    q = lax.dot_general(T_int, ct, (((2,), (0,)), ((), ())))  # (l,m,j)+(u,v,i)
-    # ket layer: contract a(u,l) with q(u=3, l=0)
-    q = lax.dot_general(a, q, (((1, 2), (3, 0)), ((), ())))  # (s,e,r)+(m,j,v,i)
-    # bra layer: contract conj(a)(s,v,m) with q(s=0, v=5, m=3)
-    M6 = lax.dot_general(jnp.conj(a), q, (((0, 1, 2), (0, 5, 3)), ((), ())))
+    q1 = lax.dot_general(T_int, ct, (((2,), (0,)), ((), ())))  # (l,m,j)+(u,v,i)
+    if not slice_phys:
+        # ket layer: contract a(u,l) with q(u=3, l=0)
+        q = lax.dot_general(a, q1, (((1, 2), (3, 0)), ((), ())))  # (s,e,r)+(m,j,v,i)
+        # bra layer: contract conj(a)(s,v,m) with q(s=0, v=5, m=3)
+        return lax.dot_general(jnp.conj(a), q, (((0, 1, 2), (0, 5, 3)), ((), ())))
+    M6 = None
+    ac = jnp.conj(a)
+    for s in range(d):
+        # (e,r)+(m,j,v,i)
+        qs = lax.dot_general(a[s], q1, (((0, 1), (3, 0)), ((), ())))
+        # conj(a)[s] (v,m,f,g): contract (v, m) with qs (4, 2)
+        ms = lax.dot_general(ac[s], qs, (((0, 1), (4, 2)), ((), ())))
+        M6 = ms if M6 is None else M6 + ms
     return M6  # (f,g)+(e,r,j,i)
 
 
@@ -97,19 +112,28 @@ def _subspace_eigh_op(m_apply, P0, chi: int, n_power: int,
     return Dv * mask, P * mask[None, :]
 
 
-def _absorb_T_int(a, T_int, P2d, chi: int, chi_n: int):
+def _absorb_T_int(a, T_int, P2d, chi: int, chi_n: int, slice_phys: bool = False):
     """T' = P^H (T a a*) P in internal layout; returns ``T'[k,b,chi',chi']``."""
     D = a.shape[1]
-    # z1[(d,l,m),(u,v,p)] = T[x,(d,l,m)]^T P[x,(u,v,p)]
-    # T_int (l, m, x, d): rows x -> arrange (x, d, l, m)? use dot_general:
+    d = a.shape[0]
     # contract T chi0(=x up) with P's chi rows
     P4 = P2d.reshape(chi, D, D, chi_n)  # (c, u, v, p)
-    z = lax.dot_general(T_int, P4, (((2,), (0,)), ((), ())))  # (l,m,d)+(u,v,p)
-    # ket layer: contract a(u=1, l=2) with z(u=3, l=0)
-    z = lax.dot_general(a, z, (((1, 2), (3, 0)), ((), ())))  # (s,e,r)+(m,d,v,p)
-    # bra layer: contract conj(a)(s=0, v=1, m=2) with z(s=0, v=5, m=3)
-    z = lax.dot_general(jnp.conj(a), z, (((0, 1, 2), (0, 5, 3)), ((), ())))
-    # z = (f,g)+(e,r,d,p)
+    z1 = lax.dot_general(T_int, P4, (((2,), (0,)), ((), ())))  # (l,m,d)+(u,v,p)
+    if not slice_phys:
+        # ket layer: contract a(u=1, l=2) with z(u=3, l=0)
+        z = lax.dot_general(a, z1, (((1, 2), (3, 0)), ((), ())))  # (s,e,r)+(m,d,v,p)
+        # bra layer: contract conj(a)(s=0, v=1, m=2) with z(s=0, v=5, m=3)
+        z = lax.dot_general(jnp.conj(a), z, (((0, 1, 2), (0, 5, 3)), ((), ())))
+        # z = (f,g)+(e,r,d,p)
+    else:
+        z = None
+        ac = jnp.conj(a)
+        for s in range(d):
+            # a[s] (u,l,e,r): contract (u=0, l=1) with z1 (3, 0) -> (e,r)+(m,d,v,p)
+            zs = lax.dot_general(a[s], z1, (((0, 1), (3, 0)), ((), ())))
+            # conj(a)[s] (v,m,f,g): contract (v=0, m=1) with zs (4, 2)
+            zs = lax.dot_general(ac[s], zs, (((0, 1), (4, 2)), ((), ())))
+            z = zs if z is None else z + zs  # (f,g)+(e,r,d,p)
     # close with conj(P): contract (c=chi, u=ket-down, v=bra-down) with
     # z (d=4, e=2, f=0)
     nT = lax.dot_general(jnp.conj(P4), z, (((0, 1, 2), (4, 2, 0)), ((), ())))
@@ -129,11 +153,12 @@ def ctm_move_sl_tpu(
     ad_decomp_reg: float = 1.0e-12,
     absorb_normalization: str = "inf",
     sg_norm: bool = True,
+    slice_phys: bool = False,
 ):
     """One C4v move in TPU layout.  Returns ``(C', T'_int, spec, P)``."""
     chi = C.shape[0]
     D = a.shape[1]
-    M6 = _c2x2_factored(a, C, T_int)
+    M6 = _c2x2_factored(a, C, T_int, slice_phys=slice_phys)
     # hermitian-symmetrize via the operator: (M + M^H)/2 applied lazily —
     # M is hermitian up to roundoff for C4v states; symmetrize H instead
     m_apply = partial(_m_apply, M6, chi=chi, D=D)
@@ -148,7 +173,7 @@ def ctm_move_sl_tpu(
     spec = Dspec / scale_C
     nC = (W.conj().T * spec.astype(C.dtype)[None, :]) @ W
 
-    nT = _absorb_T_int(a, T_int, P, chi, chi)
+    nT = _absorb_T_int(a, T_int, P, chi, chi, slice_phys=slice_phys)
     # hermitian symmetrization T'_{ija} = (T'_{ija}+T'*_{jia})/2 in
     # internal layout: swap the two chi axes
     nT = 0.5 * (nT + jnp.conj(nT.transpose(0, 1, 3, 2)))
@@ -165,7 +190,8 @@ def ctm_move_sl_tpu(
 @partial(
     jax.jit,
     static_argnames=("max_iter", "conv_tol", "n_power", "eps_multiplet",
-                     "ad_decomp_reg", "absorb_normalization", "conv_on"),
+                     "ad_decomp_reg", "absorb_normalization", "conv_on",
+                     "slice_phys"),
 )
 def run_fixed_point_tpu(
     a,
@@ -178,6 +204,7 @@ def run_fixed_point_tpu(
     ad_decomp_reg: float = 1.0e-12,
     absorb_normalization: str = "inf",
     conv_on: str = "spec",
+    slice_phys: bool = False,
 ):
     """CTMRG to convergence with the TPU-layout move; public-layout env in
     and out.  Same contract as :func:`tpeps.ctm.c4v.ctmrg.run_fixed_point`.
@@ -192,6 +219,7 @@ def run_fixed_point_tpu(
     move = partial(
         ctm_move_sl_tpu, n_power=n_power, eps_multiplet=eps_multiplet,
         ad_decomp_reg=ad_decomp_reg, absorb_normalization=absorb_normalization,
+        slice_phys=slice_phys,
     )
 
     def cond(carry):
@@ -211,3 +239,59 @@ def run_fixed_point_tpu(
     carry = (env.C, T_int, P0, spec0, jnp.asarray(jnp.inf, dtype=rdtype), jnp.asarray(0))
     C, T_int, P, _, dist, n_iter = lax.while_loop(cond, body, carry)
     return EnvC4v(C, from_tpu_layout(T_int)), n_iter, dist, P
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_power", "eps_multiplet", "ad_decomp_reg",
+                     "absorb_normalization", "slice_phys"),
+)
+def _jit_move(a, C, T_int, P_ref, *, n_power=2, eps_multiplet=1.0e-12,
+              ad_decomp_reg=1.0e-12, absorb_normalization="inf",
+              slice_phys=False):
+    return ctm_move_sl_tpu(
+        a, C, T_int, P_ref, n_power=n_power, eps_multiplet=eps_multiplet,
+        ad_decomp_reg=ad_decomp_reg, absorb_normalization=absorb_normalization,
+        slice_phys=slice_phys,
+    )
+
+
+def run_ctmrg_tpu(
+    a,
+    env: EnvC4v,
+    *,
+    max_iter: int = 100,
+    conv_tol: float = 1.0e-8,
+    n_power: int = 2,
+    slice_phys: bool = False,
+    **move_kwargs,
+):
+    """Host-driven CTMRG loop over the jitted TPU-layout move.
+
+    Compiles only the single move (seconds) instead of the whole
+    ``while_loop`` program (minutes through a remote-compile tunnel, and
+    observed to crash the TPU runtime for the largest D).  The
+    convergence check pulls the chi-vector corner spectrum to the host
+    each iteration — negligible traffic.
+
+    :return: ``(env, n_iter, dist)``
+    """
+    D = a.shape[1]
+    chi = env.C.shape[0]
+    T_int = to_tpu_layout(env.T, D)
+    P = cold_start_basis(chi * D * D, chi, env.C.dtype)
+    C = env.C
+    spec_prev = None
+    dist = float("inf")
+    it = 0
+    for it in range(1, max_iter + 1):
+        C, T_int, spec, P = _jit_move(
+            a, C, T_int, P, n_power=n_power, slice_phys=slice_phys, **move_kwargs
+        )
+        spec_h = np.abs(np.asarray(spec))
+        if spec_prev is not None:
+            dist = float(np.linalg.norm(spec_h - spec_prev))
+            if dist < conv_tol:
+                break
+        spec_prev = spec_h
+    return EnvC4v(C, from_tpu_layout(T_int)), it, dist
