@@ -1,0 +1,54 @@
+"""Observables of a stored S=2 AKLT iPEPS (counterpart of reference
+examples/akltS2/ctmrg_akltS2.py)."""
+
+import os
+import sys
+import unittest
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
+
+import tpeps  # noqa: F401
+
+from tpeps.config import configure, get_args_parser
+from tpeps.ctm.generic.ctmrg import run
+from tpeps.ctm.generic.env import init_env
+from tpeps.ipeps.ipeps import read_ipeps
+from tpeps.models.akltS2 import AKLTS2
+
+parser = get_args_parser()
+args, unknown_args = parser.parse_known_args()
+
+
+def main():
+    cfg = configure(args)
+    model = AKLTS2(dtype=cfg.global_args.jnp_dtype)
+    state = read_ipeps(cfg.main.instate)
+    env = init_env(state, cfg.main.chi, cfg.ctm.ctm_env_init_type)
+    env, _ = run(state, env, cfg.ctm)
+    e = float(model.energy_2x1_1x2(state, env))
+    obs_values, obs_labels = model.eval_obs(state, env)
+    print(", ".join(["epoch", "energy"] + obs_labels))
+    print(", ".join(["FINAL", f"{e}"] + [str(v) for v in obs_values]))
+    return e
+
+
+if __name__ == "__main__":
+    if unknown_args:
+        raise Exception("Unknown command line arguments: " + str(unknown_args))
+    main()
+
+
+class TestAklt(unittest.TestCase):
+    REF = os.environ.get("TPEPS_REFERENCE", "/root/reference")
+
+    def test_aklt_2x2_zero_energy(self):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        f = os.path.join(self.REF, "test-input", "AKLT-S2_2x2_ABCD.in")
+        if not os.path.exists(f):
+            self.skipTest("reference test-input not available")
+        args.instate = f
+        args.chi = 25
+        e = main()
+        self.assertLess(abs(e), 1e-8)

@@ -61,6 +61,7 @@ def optimize_state(
     obs_fn=None,
     post_proc=None,
     loss_fn_linesearch=None,
+    loss_ctx_fn=None,
     checkpoint_file=None,
     best_state_writer=None,
     opt_resume=None,
@@ -68,9 +69,17 @@ def optimize_state(
     """Epoch loop of L-BFGS optimization.
 
     :param params: pytree of variational parameters (jnp arrays)
-    :param loss_fn: differentiable ``params -> loss`` (scalar)
+    :param loss_fn: differentiable ``params -> loss`` (scalar), or
+        ``(params, ctx) -> loss`` when ``loss_ctx_fn`` is given
     :param cfg: :class:`tpeps.config.Config`
     :param loss_fn_linesearch: optional cheaper no-grad ``params -> loss``
+        — called eagerly on the host (may contain host-loop CTMRG)
+    :param loss_ctx_fn: optional host-side ``params -> ctx`` evaluated
+        once per epoch outside AD (e.g. a fully converged environment for
+        stacks whose convergence loop is host-driven); ``ctx`` is passed
+        as a traced argument so the jitted gradient is not retraced.
+        This reproduces the reference's env-reuse semantics
+        (ad_optim_lbfgs_mod.py ``current_env``).
     :param best_state_writer: callable ``(params, loss)`` invoked when the
         loss improves (e.g. writes the ``_state.json``)
     :param opt_resume: checkpoint path to resume from
@@ -85,13 +94,22 @@ def optimize_state(
     def to_params(x):
         return merge_complex(unravel(jnp.asarray(x)), params_proto)
 
-    vag = jax.jit(jax.value_and_grad(lambda pr: loss_fn(merge_complex(pr, params_proto))))
+    if loss_ctx_fn is None:
+        vag = jax.jit(jax.value_and_grad(lambda pr: loss_fn(merge_complex(pr, params_proto))))
+    else:
+        vag_ctx = jax.jit(
+            jax.value_and_grad(lambda pr, ctx: loss_fn(merge_complex(pr, params_proto), ctx))
+        )
 
     t_closure = {"grad": 0.0, "ls": 0.0}
+    current_ctx = [None]
 
     def closure(x):
         t0 = time.perf_counter()
-        val, grad = vag(unravel(jnp.asarray(x)))
+        if loss_ctx_fn is None:
+            val, grad = vag(unravel(jnp.asarray(x)))
+        else:
+            val, grad = vag_ctx(unravel(jnp.asarray(x)), current_ctx[0])
         gflat, _ = ravel_pytree(grad)
         val = float(val)
         gflat = np.asarray(gflat, dtype=np.float64)
@@ -100,11 +118,11 @@ def optimize_state(
 
     closure_ls = None
     if loss_fn_linesearch is not None:
-        ls_jit = jax.jit(lambda pr: loss_fn_linesearch(merge_complex(pr, params_proto)))
 
         def closure_ls(x):
             t0 = time.perf_counter()
-            val = float(ls_jit(unravel(jnp.asarray(x))))
+            # eager: the line-search loss may contain host-driven loops
+            val = float(loss_fn_linesearch(to_params(x)))
             t_closure["ls"] += time.perf_counter() - t0
             return val
 
@@ -141,6 +159,8 @@ def optimize_state(
                              "loss": best_loss}, f)
 
         t_closure["grad"] = t_closure["ls"] = 0.0
+        if loss_ctx_fn is not None:
+            current_ctx[0] = loss_ctx_fn(to_params(x))
         t0 = time.perf_counter()
         x, loss, grad, info = opt.step_2c(x, closure, closure_ls)
         t_epoch = time.perf_counter() - t0
