@@ -206,6 +206,57 @@ def write_ipeps(state, outputfile, aux_seq=(0, 1, 2, 3), tol=1.0e-14, normalize=
         json.dump(json_state, f, indent=4, separators=(",", ": "))
 
 
+class IPEPS_WEIGHTED(IPEPS):
+    """iPEPS augmented with diagonal positive bond weights — the ansatz
+    structure for simple-update iTEBD (reference ipeps/ipeps.py:543-762).
+
+    ``weights`` maps ``(coord, dxy)`` to a weight vector on the bond
+    leaving ``coord`` in direction ``dxy``; ``(coord, dxy)`` and
+    ``(coord+dxy, -dxy)`` index the same tensor.
+    """
+
+    _DXY_TO_AXIS = {(0, -1): 1, (-1, 0): 2, (0, 1): 3, (1, 0): 4}
+
+    def __init__(self, state=None, sites=None, weights=None, vertexToSite=None,
+                 lX=None, lY=None):
+        if state is not None:
+            sites = state.sites
+            vertexToSite = state.vertexToSite
+            lX, lY = state.lX, state.lY
+        super().__init__(sites, vertexToSite=vertexToSite, lX=lX, lY=lY)
+        self.weights = dict(weights) if weights else self.generate_weights()
+
+    def generate_weights(self):
+        """Identity weights on every non-equivalent bond
+        (reference ipeps.py:573-600)."""
+        weights = {}
+        for coord in self.sites:
+            for dxy, ax in self._DXY_TO_AXIS.items():
+                w_id = (coord, dxy)
+                w_rid = (
+                    self.vertexToSite((coord[0] + dxy[0], coord[1] + dxy[1])),
+                    (-dxy[0], -dxy[1]),
+                )
+                if w_id not in weights and w_rid not in weights:
+                    W = jnp.ones(self.sites[coord].shape[ax], dtype=self.dtype)
+                    weights[w_id] = W
+                    weights[w_rid] = W
+        return weights
+
+    def absorb_weights(self) -> IPEPS:
+        """Split weights as sqrt(W) sqrt(W) and absorb into on-site
+        tensors (reference ipeps.py:616-660)."""
+        sites = {}
+        for coord, a in self.sites.items():
+            for dxy, ax in self._DXY_TO_AXIS.items():
+                w = jnp.sqrt(jnp.abs(self.weights[(coord, dxy)]))
+                shape = [1] * 5
+                shape[ax] = -1
+                a = a * w.reshape(shape)
+            sites[coord] = a
+        return IPEPS(sites, vertexToSite=self.vertexToSite, lX=self.lX, lY=self.lY)
+
+
 def extend_bond_dim(state, new_d):
     """Zero-pad all auxiliary dimensions up to ``new_d``
     (reference ipeps/ipeps.py:443-466)."""
