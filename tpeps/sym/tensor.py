@@ -1,0 +1,342 @@
+"""Abelian-symmetric block-sparse tensors.
+
+The YASTN replacement (SURVEY.md §2.15: "the single largest new
+component"): charge-conserving tensors whose non-zero blocks are dense
+jnp arrays addressed by per-leg charge tuples.
+
+Design for jit: the block structure (symmetry, signatures, per-leg
+charge->dimension maps, total charge) is *static metadata*; the blocks
+form a dict pytree with static keys — exactly the static-metadata /
+dynamic-data split the reference engineers for torch checkpointing of
+YASTN tensors (ctm/generic_abelian/ctmrg.py:130-211).  Any function of
+AbelianTensors with fixed metadata traces once and jits.
+
+Charge rule: a block with leg charges (q_1..q_r) is allowed iff
+``sum_i s_i q_i == n`` (signatures s_i = +-1, total charge n), with
+group addition (integers for U(1), mod-2 for Z2, tuples for products).
+
+Supported symmetries: "U1", "Z2", "U1xU1".
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _qadd(sym, *qs):
+    if sym == "Z2":
+        return sum(qs) % 2
+    if sym == "U1xU1":
+        return tuple(sum(x) for x in zip(*qs))
+    return sum(qs)
+
+
+def _qscale(sym, s, q):
+    if sym == "Z2":
+        return (s * q) % 2
+    if sym == "U1xU1":
+        return tuple(s * x for x in q)
+    return s * q
+
+
+@dataclass(frozen=True)
+class LegCharges:
+    """Charge sectors of one leg: mapping charge -> dimension."""
+
+    charges: tuple  # tuple of (charge, dim) pairs, charge-sorted
+
+    @property
+    def dims(self):
+        return dict(self.charges)
+
+    def total_dim(self):
+        return sum(d for _, d in self.charges)
+
+    def offset(self, q):
+        off = 0
+        for c, d in self.charges:
+            if c == q:
+                return off
+            off += d
+        raise KeyError(q)
+
+
+def leg(charge_dims) -> LegCharges:
+    """Build a LegCharges from a {charge: dim} mapping."""
+    items = sorted(charge_dims.items(), key=lambda x: (str(type(x[0])), x[0]))
+    return LegCharges(tuple(items))
+
+
+class AbelianTensor:
+    """Block-sparse tensor with abelian charge conservation."""
+
+    def __init__(self, sym: str, signature, legs, n=0, blocks=None, dtype=jnp.float64):
+        self.sym = sym
+        if sym == "U1xU1" and isinstance(n, int):
+            assert n == 0
+            n = (0, 0)
+        self.signature = tuple(signature)
+        self.legs = tuple(legs)
+        self.n = n
+        self.dtype = dtype
+        self.blocks = dict(blocks) if blocks else {}
+
+    # -------------------------------------------------------------- meta
+    @property
+    def ndim(self):
+        return len(self.legs)
+
+    def allowed(self, qs) -> bool:
+        tot = _qadd(self.sym, *(_qscale(self.sym, s, q) for s, q in zip(self.signature, qs)))
+        return tot == self.n
+
+    def block_shape(self, qs):
+        return tuple(l.dims[q] for l, q in zip(self.legs, qs))
+
+    def all_allowed_blocks(self):
+        for qs in itertools.product(*[[c for c, _ in l.charges] for l in self.legs]):
+            if self.allowed(qs):
+                yield qs
+
+    # ------------------------------------------------------------ create
+    @classmethod
+    def zeros(cls, sym, signature, legs, n=0, dtype=jnp.float64):
+        t = cls(sym, signature, legs, n, dtype=dtype)
+        for qs in t.all_allowed_blocks():
+            t.blocks[qs] = jnp.zeros(t.block_shape(qs), dtype=dtype)
+        return t
+
+    @classmethod
+    def random(cls, key, sym, signature, legs, n=0, dtype=jnp.float64):
+        t = cls(sym, signature, legs, n, dtype=dtype)
+        for qs in t.all_allowed_blocks():
+            key, sub = jax.random.split(key)
+            t.blocks[qs] = jax.random.uniform(
+                sub, t.block_shape(qs), dtype=dtype, minval=-0.5, maxval=0.5
+            )
+        return t
+
+    def copy_with(self, blocks):
+        return AbelianTensor(self.sym, self.signature, self.legs, self.n, blocks, self.dtype)
+
+    # --------------------------------------------------------------- ops
+    def conj(self):
+        """Complex conjugate; flips all signatures and the total charge."""
+        return AbelianTensor(
+            self.sym,
+            tuple(-s for s in self.signature),
+            self.legs,
+            _qscale(self.sym, -1, self.n),
+            {q: jnp.conj(b) for q, b in self.blocks.items()},
+            self.dtype,
+        )
+
+    def transpose(self, axes):
+        return AbelianTensor(
+            self.sym,
+            tuple(self.signature[a] for a in axes),
+            tuple(self.legs[a] for a in axes),
+            self.n,
+            {tuple(q[a] for a in axes): b.transpose(axes) for q, b in self.blocks.items()},
+            self.dtype,
+        )
+
+    def __add__(self, other):
+        assert self.signature == other.signature and self.n == other.n
+        out = {}
+        for q in set(self.blocks) | set(other.blocks):
+            a = self.blocks.get(q)
+            b = other.blocks.get(q)
+            out[q] = a + b if (a is not None and b is not None) else (a if a is not None else b)
+        return self.copy_with(out)
+
+    def __mul__(self, scalar):
+        return self.copy_with({q: scalar * b for q, b in self.blocks.items()})
+
+    __rmul__ = __mul__
+
+    def norm(self):
+        if not self.blocks:
+            return jnp.asarray(0.0)
+        return jnp.sqrt(sum(jnp.sum(jnp.abs(b) ** 2) for b in self.blocks.values()))
+
+    def max_abs(self):
+        return max(jnp.abs(b).max() for b in self.blocks.values())
+
+    # --------------------------------------------------------- tensordot
+    def tensordot(self, other, axes):
+        """Charge-conserving tensordot.
+
+        Contracted leg pairs must carry matching charge sectors with
+        opposite effective signatures (as in YASTN); the result's total
+        charge is the group sum.
+        """
+        ax_a, ax_b = axes
+        ax_a, ax_b = tuple(ax_a), tuple(ax_b)
+        for i, j in zip(ax_a, ax_b):
+            # opposite signatures make the contracted charges cancel for
+            # every sector, so the result has a uniform total charge;
+            # same-sign contraction would yield an invalid tensor.  For
+            # Z2, -1 == +1 mod 2, so the signature is immaterial.
+            if self.sym != "Z2" and self.signature[i] != -other.signature[j]:
+                raise ValueError(
+                    f"contracted legs ({i},{j}) must carry opposite signatures, "
+                    f"got {self.signature[i]} and {other.signature[j]}"
+                )
+            da, db = self.legs[i].dims, other.legs[j].dims
+            for q in set(da) & set(db):
+                if da[q] != db[q]:
+                    raise ValueError(
+                        f"charge-sector dim mismatch on contracted legs ({i},{j}), "
+                        f"charge {q}: {da[q]} vs {db[q]}"
+                    )
+        keep_a = [i for i in range(self.ndim) if i not in ax_a]
+        keep_b = [i for i in range(other.ndim) if i not in ax_b]
+
+        out_blocks = {}
+        # group blocks of `other` by their contracted-leg charges
+        b_by_con = {}
+        for qb, blk in other.blocks.items():
+            con = tuple(qb[i] for i in ax_b)
+            b_by_con.setdefault(con, []).append((qb, blk))
+
+        for qa, ba in self.blocks.items():
+            con = tuple(qa[i] for i in ax_a)
+            for qb, bb in b_by_con.get(con, []):
+                qout = tuple(qa[i] for i in keep_a) + tuple(qb[i] for i in keep_b)
+                prod = jnp.tensordot(ba, bb, (ax_a, ax_b))
+                if qout in out_blocks:
+                    out_blocks[qout] = out_blocks[qout] + prod
+                else:
+                    out_blocks[qout] = prod
+
+        sig = tuple(self.signature[i] for i in keep_a) + tuple(other.signature[i] for i in keep_b)
+        legs = tuple(self.legs[i] for i in keep_a) + tuple(other.legs[i] for i in keep_b)
+        n = _qadd(self.sym, self.n, other.n)
+        return AbelianTensor(self.sym, sig, legs, n, out_blocks, self.dtype)
+
+    # ------------------------------------------------------------- dense
+    def to_dense(self):
+        """Embed into a dense array (charge sectors ordered per leg)."""
+        shape = tuple(l.total_dim() for l in self.legs)
+        out = np.zeros(shape, dtype=np.asarray(jnp.zeros(0, self.dtype)).dtype)
+        for qs, b in self.blocks.items():
+            sl = tuple(
+                slice(l.offset(q), l.offset(q) + l.dims[q]) for l, q in zip(self.legs, qs)
+            )
+            out[sl] = np.asarray(b)
+        return jnp.asarray(out)
+
+    @classmethod
+    def from_dense(cls, dense, sym, signature, legs, n=0):
+        """Project a dense array onto the allowed charge blocks."""
+        t = cls(sym, signature, legs, n, dtype=dense.dtype)
+        dense = np.asarray(dense)
+        for qs in t.all_allowed_blocks():
+            sl = tuple(
+                slice(l.offset(q), l.offset(q) + l.dims[q]) for l, q in zip(t.legs, qs)
+            )
+            blk = dense[sl]
+            if np.any(blk != 0):
+                t.blocks[qs] = jnp.asarray(blk)
+        return t
+
+
+def svd_blockwise(t: AbelianTensor, row_axes, col_axes, chi=None):
+    """Truncated SVD of an AbelianTensor viewed as a matrix over
+    (row_axes | col_axes), preserving charges.
+
+    Per charge-sector SVD + a global cut across sectors by singular
+    value (the reference's abelian projector construction,
+    ctm/generic_abelian/ctm_projectors.py:159-294).
+
+    :return: ``(U, S_dict, V)`` where U/V are AbelianTensors with a new
+        internal leg and ``S_dict`` maps sector charge -> kept singular
+        values.
+    """
+    row_axes, col_axes = tuple(row_axes), tuple(col_axes)
+    perm = row_axes + col_axes
+    tp = t.transpose(perm)
+    nrow = len(row_axes)
+
+    # group blocks into charge sectors of the fused row charge
+    sectors = {}
+    for qs, b in tp.blocks.items():
+        qrow = tuple(qs[:nrow])
+        qsec = _qadd(
+            t.sym, *(_qscale(t.sym, s, q) for s, q in zip(tp.signature[:nrow], qrow))
+        ) if nrow > 1 else _qscale(t.sym, tp.signature[0], qs[0])
+        sectors.setdefault(qsec, []).append((qs, b))
+
+    all_svals = []
+    sector_data = {}
+    for qsec, items in sectors.items():
+        # assemble the sector matrix from its blocks
+        row_keys = sorted(set(tuple(qs[:nrow]) for qs, _ in items))
+        col_keys = sorted(set(tuple(qs[nrow:]) for qs, _ in items))
+        row_dims = {rk: int(np.prod([tp.legs[i].dims[rk[i]] for i in range(nrow)])) for rk in row_keys}
+        col_dims = {ck: int(np.prod([tp.legs[nrow + i].dims[ck[i]] for i in range(len(ck))])) for ck in col_keys}
+        row_off = {}
+        off = 0
+        for rk in row_keys:
+            row_off[rk] = off
+            off += row_dims[rk]
+        col_off = {}
+        offc = 0
+        for ck in col_keys:
+            col_off[ck] = offc
+            offc += col_dims[ck]
+        M = jnp.zeros((off, offc), dtype=tp.dtype)
+        for qs, b in items:
+            rk, ck = tuple(qs[:nrow]), tuple(qs[nrow:])
+            M = M.at[
+                row_off[rk] : row_off[rk] + row_dims[rk],
+                col_off[ck] : col_off[ck] + col_dims[ck],
+            ].set(b.reshape(row_dims[rk], col_dims[ck]))
+        U, S, Vh = jnp.linalg.svd(M, full_matrices=False)
+        sector_data[qsec] = (row_keys, col_keys, row_dims, col_dims, row_off, col_off, U, S, Vh)
+        all_svals.extend([(float(s), qsec, i) for i, s in enumerate(np.asarray(S))])
+
+    # global truncation across sectors
+    all_svals.sort(key=lambda x: -x[0])
+    if chi is not None:
+        all_svals = all_svals[:chi]
+    keep = {}
+    for _, qsec, i in all_svals:
+        keep.setdefault(qsec, []).append(i)
+
+    U_blocks, V_blocks, S_out = {}, {}, {}
+    new_leg_dims_U = {}
+    for qsec, idxs in keep.items():
+        idxs = sorted(idxs)
+        row_keys, col_keys, row_dims, col_dims, row_off, col_off, U, S, Vh = sector_data[qsec]
+        k = len(idxs)
+        new_leg_dims_U[qsec] = k
+        S_out[qsec] = S[jnp.asarray(idxs)]
+        Usec = U[:, jnp.asarray(idxs)]
+        Vsec = Vh[jnp.asarray(idxs), :]
+        for rk in row_keys:
+            blk = Usec[row_off[rk] : row_off[rk] + row_dims[rk], :]
+            shape = tuple(tp.legs[i].dims[rk[i]] for i in range(nrow)) + (k,)
+            U_blocks[rk + (qsec,)] = blk.reshape(shape)
+        for ck in col_keys:
+            blk = Vsec[:, col_off[ck] : col_off[ck] + col_dims[ck]]
+            shape = (k,) + tuple(tp.legs[nrow + i].dims[ck[i]] for i in range(len(ck)))
+            V_blocks[(qsec,) + ck] = blk.reshape(shape)
+
+    new_leg = leg(new_leg_dims_U)
+    # U carries the original row legs + new leg with signature -1 carrying qsec
+    U_t = AbelianTensor(
+        t.sym, tp.signature[:nrow] + (-1,), tp.legs[:nrow] + (new_leg,), 0,
+        U_blocks, t.dtype,
+    )
+    V_t = AbelianTensor(
+        t.sym, (1,) + tp.signature[nrow:], (new_leg,) + tp.legs[nrow:], t.n,
+        V_blocks, t.dtype,
+    )
+    return U_t, S_out, V_t
