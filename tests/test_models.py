@@ -73,3 +73,113 @@ def test_jq_rvb_value():
     model = JQ(j1=1.0, q=0.5)
     E = float(model.energy_2x2_4site(state, env))
     assert abs(E - (-0.984049331849)) < 1e-6
+
+
+@needs_ref
+def test_j1j2lambda_hamiltonian_matches_reference():
+    """Chiral-term + plaquette Hamiltonian tensors agree elementwise with
+    the reference construction (models/j1j2lambda.py:66-122)."""
+    from refutil import import_reference
+    import_reference()
+    import torch
+    import config as rcfg
+    rcfg.global_args.dtype = "complex128"
+    rcfg.global_args.torch_dtype = torch.complex128
+    from models.j1j2lambda import J1J2LAMBDA_C4V_BIPARTITE as REF_M
+
+    from tpeps.models.j1j2lambda import J1J2LAMBDA_C4V_BIPARTITE
+
+    kw = dict(j1=1.0, j2=0.37, j3=0.11, hz_stag=0.23, delta_zz=0.9, lmbd=0.45)
+    ref = REF_M(**kw)
+    m = J1J2LAMBDA_C4V_BIPARTITE(**kw)
+    assert np.abs(np.asarray(m.hp_rot) - ref.hp.numpy()).max() < 1e-14
+    assert np.abs(np.asarray(m.hp_chiral_rot) - ref.hp_chiral.numpy()).max() < 1e-14
+    assert np.abs(np.asarray(m.SS_rot) - ref.SS_rot.numpy()).max() < 1e-14
+
+
+def test_j1j2lambda_reduces_to_j1j2():
+    """At lmbd=0 the chiral model's energy equals the plain C4v J1-J2."""
+    import jax
+    from tpeps.ctm.c4v.env import init_env as init_env_c4v
+    from tpeps.ctm.c4v.ctmrg import converge_env
+    from tpeps.ipeps.ipeps_c4v import symmetrize_c4v
+    from tpeps.models.j1j2 import J1J2_C4V_BIPARTITE
+    from tpeps.models.j1j2lambda import J1J2LAMBDA_C4V_BIPARTITE
+
+    a = jax.random.normal(jax.random.PRNGKey(3), (2, 2, 2, 2, 2),
+                          dtype=jnp.float64)
+    a = symmetrize_c4v(a)
+    a = (a / jnp.abs(a).max()).astype(jnp.complex128)
+    env = init_env_c4v(a, 8)
+    env = converge_env(a, env, CtmArgs(ctm_max_iter=80, ctm_conv_tol=1e-10))
+    m0 = J1J2_C4V_BIPARTITE(j1=1.0, j2=0.4, dtype=jnp.complex128)
+    m1 = J1J2LAMBDA_C4V_BIPARTITE(j1=1.0, j2=0.4, lmbd=0.0)
+    e0 = float(m0.energy_1x1(a, env))
+    e1 = float(m1.energy_1x1(a, env))
+    assert abs(e0 - e1) < 1e-10
+    obs, labels = m1.eval_obs(a, env)
+    assert all(np.isfinite(np.real(np.complex128(o))) for o in obs)
+
+
+def test_coupledchains_isotropic_matches_hb():
+    """At j1_x=j1_y, k1_x=k1_y COUPLEDCHAINS reduces to the isotropic HB
+    model; both energy forms must agree on a converged random 2x2 state."""
+    import jax
+    from tpeps.models.hb import HB
+    from tpeps.models.hb_anisotropy import COUPLEDCHAINS
+    from tpeps.ipeps.ipeps import IPEPS
+
+    rng = np.random.RandomState(7)
+    sites = {(x, y): jnp.asarray(rng.rand(3, 2, 2, 2, 2) - 0.5)
+             for x in range(2) for y in range(2)}
+    sites = {c: t / jnp.linalg.norm(t) for c, t in sites.items()}
+    state = IPEPS(sites=sites, lX=2, lY=2)
+    env = _converge(state, 12, tol=1e-8)
+
+    iso = HB(spin_s=3, j1=1.0, k1=0.3)
+    ani = COUPLEDCHAINS(phys_dim=3, j1_x=1.0, j1_y=1.0, k1_x=0.3, k1_y=0.3)
+    e_iso = float(iso.energy_2x1_1x2(state, env))
+    e_ani = float(ani.energy_2x1_1x2(state, env))
+    assert abs(e_iso - e_ani) < 1e-12
+    # plaquette form agrees with the bond form (reference convention:
+    # energy_2x2_4site returns the per-bond average = half the per-site)
+    e_p = float(ani.energy_2x2_4site(state, env).real)
+    assert abs(2 * e_p - e_ani) < 1e-6
+    obs, labels = ani.eval_obs(state, env)
+    assert len(obs) == len(labels) and np.isfinite(float(np.real(obs[0])))
+
+
+def test_coupledchains_hamiltonian_matches_reference():
+    from refutil import import_reference, reference_available
+    if not reference_available():
+        pytest.skip("reference not present")
+    import_reference()
+    import torch
+    from models.hb_anisotropy import COUPLEDCHAINS as REF_M
+    from tpeps.models.hb_anisotropy import COUPLEDCHAINS
+
+    ref = REF_M(phys_dim=3, j1_x=1.0, j1_y=0.4, k1_x=0.2, k1_y=0.05)
+    m = COUPLEDCHAINS(phys_dim=3, j1_x=1.0, j1_y=0.4, k1_x=0.2, k1_y=0.05)
+    for name in ("h2_x", "h2_y", "hp_h", "hp_v"):
+        assert np.abs(np.asarray(getattr(m, name))
+                      - getattr(ref, name).numpy()).max() < 1e-14
+    assert np.abs(np.asarray(m.Q) - ref.get_Q().numpy()).max() < 1e-14
+
+
+def test_spin1_kagome_p_bonds():
+    """P_bonds_nn on a fused-site kagome state returns real SWAP
+    expectations bounded by 1."""
+    import jax
+    from tpeps.models.spin1_kagome import S1_KAGOME
+    from tpeps.ipeps.ipeps_kagome import IPEPS_KAGOME
+
+    rng = np.random.RandomState(2)
+    a = jnp.asarray(rng.rand(27, 2, 2, 2, 2) - 0.5)
+    state = IPEPS_KAGOME(sites={(0, 0): a / jnp.linalg.norm(a)}, lX=1, lY=1)
+    env = _converge(state, 8, max_iter=40, tol=1e-7)
+    model = S1_KAGOME(j1=1.0)
+    e = float(model.energy_per_site(state, env))
+    assert np.isfinite(e)
+    p23, p13, p12 = model.P_bonds_nn(state, env)
+    for p in (p23, p13, p12):
+        assert np.isfinite(float(p)) and abs(float(p)) < 1.0 + 1e-8
