@@ -284,11 +284,36 @@ def run_ctmrg_tpu(
     spec_prev = None
     dist = float("inf")
     it = 0
+    bad_streak = 0
     for it in range(1, max_iter + 1):
-        C, T_int, spec, P = _jit_move(
+        nC, nT, spec, nP = _jit_move(
             a, C, T_int, P, n_power=n_power, slice_phys=slice_phys, **move_kwargs
         )
         spec_h = np.abs(np.asarray(spec))
+        # TPU f64 is software-emulated; the warm-started CholeskyQR/eigh
+        # projector very occasionally degenerates there (observed at D=7:
+        # a spurious zero eigenvalue one move, NaN the next) while the
+        # identical move on CPU f64 is clean.  The host loop makes
+        # recovery trivial: redo the move from a cold-start basis with
+        # more power steps.  CTMRG is self-correcting, so a single
+        # recomputed move costs one extra iteration of convergence at most.
+        if not np.isfinite(spec_h).all():
+            P_cold = cold_start_basis(chi * D * D, chi, env.C.dtype)
+            nC, nT, spec, nP = _jit_move(
+                a, C, T_int, P_cold, n_power=max(n_power, 4),
+                slice_phys=slice_phys, **move_kwargs
+            )
+            spec_h = np.abs(np.asarray(spec))
+            if not np.isfinite(spec_h).all():
+                bad_streak += 1
+                if bad_streak >= 3:
+                    raise RuntimeError(
+                        f"CTMRG projector non-finite for {bad_streak} "
+                        f"consecutive moves at iteration {it}"
+                    )
+                continue  # keep previous env, try again next iteration
+        bad_streak = 0
+        C, T_int, P = nC, nT, nP
         if spec_prev is not None:
             dist = float(np.linalg.norm(spec_h - spec_prev))
             if dist < conv_tol:

@@ -42,7 +42,13 @@ def polar_unitary(O, reg: float = 1.0e-12):
     w0 = jnp.maximum(jax.lax.stop_gradient(w[0]), 1e-300)
     keep = jax.lax.stop_gradient(w) > 1e-24 * w0
     inv_sqrt = jnp.where(keep, jax.lax.rsqrt(jnp.where(keep, w, 1.0)), 0.0)
-    return O @ (V * inv_sqrt[None, :].astype(V.dtype)) @ V.conj().T
+    W = O @ (V * inv_sqrt[None, :].astype(V.dtype)) @ V.conj().T
+    # TPU's emulated-f64 eigh can emit NaNs on (near-)singular inputs
+    # where CPU f64 is clean (observed at D=7); a gauge rotation may
+    # safely degrade to identity for one move, NaNs may not propagate.
+    ok = jnp.isfinite(W).all() if not jnp.iscomplexobj(W) else (
+        jnp.isfinite(W.real).all() & jnp.isfinite(W.imag).all())
+    return jnp.where(ok, W, jnp.eye(W.shape[0], dtype=W.dtype))
 
 
 def procrustes_align(P, P_ref):
@@ -139,6 +145,16 @@ def subspace_eigh(
         mask = multiplet_mask(D, chi, eps_multiplet=eps_multiplet)
         Dt = Dt * mask
         Pt = Pt * mask[None, :]
+    # same emulated-f64 guard as polar_unitary: degrade a poisoned
+    # decomposition to the (finite) warm-start basis for one move rather
+    # than let NaNs reach the environment — CTMRG self-corrects.
+    if jnp.iscomplexobj(Pt):
+        ok = (jnp.isfinite(Dt).all() & jnp.isfinite(Pt.real).all()
+              & jnp.isfinite(Pt.imag).all())
+    else:
+        ok = jnp.isfinite(Dt).all() & jnp.isfinite(Pt).all()
+    Dt = jnp.where(ok, Dt, jnp.ones_like(Dt))
+    Pt = jnp.where(ok, Pt, jnp.eye(n, chi, dtype=Pt.dtype))
     return Dt, Pt
 
 
