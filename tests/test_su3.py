@@ -149,3 +149,29 @@ def test_kagome_su3_aklt_golden():
     obs, labels = m.eval_obs(state, env)
     for l, v in zip(labels, obs):
         assert abs(float(np.real(complex(v)))) < 1e-6, l
+
+
+@needs_ref
+@pytest.mark.slow
+def test_kagome_su3_aklt_golden_pg_ansatze():
+    """The IPESS_PG and A_2,B point-group constrained ansatze reproduce
+    the same golden (reference ctmrg_su3_kagome.py ANSATZE list); PG
+    symmetrization is idempotent on a state already in the irrep."""
+    import os
+    from refutil import REF_PATH
+    from tpeps.ipeps.ipess_kagome import read_ipess_kagome_pg, to_PG_symmetric
+    from tpeps.models.su3_kagome import KAGOME_SU3
+
+    for f in ("AKLT_SU3_KAGOME_D3_IPESS_PG_state.json",
+              "AKLT_SU3_KAGOME_D3_A2B_state.json"):
+        state = read_ipess_kagome_pg(os.path.join(REF_PATH, "test-input", f))
+        env = init_env(state, 18, "CTMRG")
+        env, _ = run(state, env, CtmArgs(ctm_max_iter=100, ctm_conv_tol=1e-10))
+        m = KAGOME_SU3(j=0.0, k=1.0, h=0.0)
+        e = float(m.energy_per_site_2x2subsystem(state, env))
+        assert abs(e - (-2 / 3)) < 1e-6, f
+        if state.pgs:
+            st2 = to_PG_symmetric(state)
+            drift = max(float(jnp.abs(st2.elem_tensors[k] - state.elem_tensors[k]).max())
+                        for k in state.elem_tensors)
+            assert drift < 1e-14
