@@ -44,7 +44,7 @@ def accelerator_alive(timeout: int = 180) -> bool:
         return False
 
 
-def bench_case(D, chi, max_iter=50):
+def bench_case(D, chi, max_iter=30):
     import jax.numpy as jnp
 
     from tpeps.ctm.c4v.env import init_env
