@@ -89,3 +89,43 @@ class TestCtmrg_TRGL(unittest.TestCase):
         args.CTMARGS_ctm_max_iter = 200
         e = main()
         self.assertAlmostEqual(e, -0.4285699726740929, delta=self.tol)
+
+
+class TestCtmrg_TRGL_1SITE(unittest.TestCase):
+    """1-site spiral goldens (reference examples/triangular/
+    ctmrg_j1j2j4_1site.py:337-365): tolerances follow the reference's own
+    test (1e-4 for 1SITE, 1e-6 for 1SITEQ)."""
+
+    REF_PATH = os.environ.get("TPEPS_REFERENCE", "/root/reference")
+
+    def setUp(self):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        if not os.path.isdir(os.path.join(self.REF_PATH, "test-input")):
+            self.skipTest("reference test-input not available")
+
+    def test_1site_j2(self):
+        from tpeps.models.spin_triangular import J1J2J4_1SITE
+        from tpeps.config import CtmArgs
+        state = read_ipeps(os.path.join(
+            self.REF_PATH, "test-input",
+            "trglC_j20.1_j40_D3ch27_r0_LS_1SITE_iD3n_C4X4cS_ptol8_state.json"))
+        env = init_env(state, 27, "CTMRG")
+        env, _ = run(state, env, CtmArgs(ctm_max_iter=300, ctm_conv_tol=1e-10))
+        m = J1J2J4_1SITE(j1=1.0, j2=0.1, dtype=state.site((0, 0)).dtype)
+        e = float(m.energy_per_site(state, env))
+        self.assertAlmostEqual(e, -0.5076644938218757, delta=1e-4)
+
+    def test_1siteq_diag(self):
+        from tpeps.ipeps.ipeps_1s_q import read_ipeps_1s_q
+        from tpeps.models.spin_triangular import J1J2J4_1SITEQ
+        from tpeps.config import CtmArgs
+        state = read_ipeps_1s_q(os.path.join(
+            self.REF_PATH, "test-input",
+            "trgl_diag0.9_q3.0_D3ch49_r2_LS_1SITEQ_c1RND_C4X4cS_ptol12_state.json"))
+        env = init_env(state, 49, "CTMRG")
+        env, _ = run(state, env, CtmArgs(ctm_max_iter=300, ctm_conv_tol=1e-10))
+        m = J1J2J4_1SITEQ(j1=1.0, j2=0.0, j4=0.0, diag=0.9,
+                          dtype=state.site((0, 0)).dtype)
+        e = float(m.energy_per_site(state, env))
+        self.assertAlmostEqual(e, -0.5333282148759652, delta=1e-6)

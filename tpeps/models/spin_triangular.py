@@ -132,24 +132,87 @@ class J1J2J4_1SITEQ:
 
         return e_nn / 4, e_nnn, e_chi / 3, e_p
 
+    def _eval_nn_per_site(self, coord, state, env, R, Rinv):
+        """NN axis bonds + diagonal bond, with the spiral rotation applied
+        to the displaced site's operator (reference spin_triangular.py:14-51
+        ``eval_nn_per_site``).  The diagonal bond comes from the 2x2 patch
+        with positions (1, 2) open — the anti-diagonal pair."""
+        sites, site_of = state.sites, state.vertexToSite
+        C, T = env.C, env.T
+        R2 = R @ R
+        r21 = rdm_gen.rdm2x1(coord, sites, site_of, C, T)
+        e_nn = jnp.einsum(
+            "ijab,abij", jnp.einsum("ixay,xj,yb->ijab", self.SS, R, R), r21)
+        r12 = rdm_gen.rdm1x2(coord, sites, site_of, C, T)
+        e_nn += jnp.einsum(
+            "ijab,abij", jnp.einsum("ixay,xj,yb->ijab", self.SS, Rinv, Rinv), r12)
+        r_d = rdm2x2_open(coord, sites, site_of, C, T, open_sites=(1, 2))
+        e_diag = jnp.einsum(
+            "ijab,abij", jnp.einsum("xjyb,xi,ya->ijab", self.SS, R2, R2), r_d)
+        return e_nn, e_diag
+
+    def _eval_nnn_per_site(self, coord, state, env, R, Rinv):
+        """NNN bonds (reference spin_triangular.py:53-115
+        ``eval_nnn_per_site_semimanual``): knight-move pairs from the 2x3
+        and 3x2 patches (far site rotated by R^3) and the main-diagonal
+        pair of the 2x2 patch (rotation omitted, as in the reference)."""
+        sites, site_of = state.sites, state.vertexToSite
+        C, T = env.C, env.T
+        R3 = R @ R @ R
+        # rotate ket and bra of the displaced (R^3) site of the pair
+        op_rot = jnp.einsum("ixay,xj,yb->ijab", self.SS, R3, jnp.conj(R3))
+
+        e_nnn = 0.0
+        # legacy-order patches: [ket_s0..ket_s3, bra_s0..bra_s3] with
+        # s0 = bottom-left, s2 = top-right (the knight-move NNN pair)
+        r23 = rdm2x3_open1234(coord, sites, site_of, C, T).transpose(
+            2, 3, 1, 0, 6, 7, 5, 4)
+        rho = jnp.einsum("ibkdabcd->ikac", r23)
+        e_nnn += jnp.einsum("ijab,ijab", rho, op_rot)
+
+        r32 = rdm3x2_open1234(coord, sites, site_of, C, T).transpose(
+            1, 3, 2, 0, 5, 7, 6, 4)
+        rho = jnp.einsum("ibkdabcd->ikac", r32)
+        e_nnn += jnp.einsum("ijab,ijab", rho, op_rot)
+
+        # main-diagonal pair of the 2x2 patch; rotation omitted exactly as
+        # in the reference (spin_triangular.py:105 "TODO include rotation")
+        r22 = rdm_gen.rdm2x2(coord, sites, site_of, C, T)
+        rho = jnp.einsum("ixylaxyd->ilad", r22)
+        e_nnn += jnp.einsum("ijab,ijab", rho, self.SS)
+        return e_nnn
+
     def energy_per_site(self, state, env, q=None):
-        """(reference spin_triangular.py:505-614 ``energy_per_site``)."""
-        assert self.diag == 1 or (self.j4 == 0 and self.jchi == 0), \
-            "diag != 1 unsupported with j4/jchi"
+        """(reference spin_triangular.py:505-614 ``energy_per_site``):
+        with ring exchange / chirality the full patch evaluation is used
+        (requires diag == 1); otherwise the cheap bond path with the
+        diagonal-anisotropy split ``j1 (e_nn + diag e_nn_diag)``."""
         if q is None:
             q = self.q if self.q is not None else getattr(state, "q", (0, 0))
         s2 = su2.SU2(self.phys_dim, dtype=self.dtype)
         R = jax.scipy.linalg.expm((pi * q[0]) * (s2.SP() - s2.SM()))
         Rinv = R.conj().T
 
-        e_nn = e_nnn = e_chi = e_p = 0.0
-        for coord in state.sites:
-            nn, nnn, chi, p = self._eval_patches_per_site(coord, state, env, R, Rinv)
-            e_nn += nn
-            e_nnn += nnn
-            e_chi += chi
-            e_p += p
-        e_cell = self.j1 * e_nn + self.j2 * e_nnn + self.j4 * e_p + self.jchi * e_chi
+        if abs(self.j4) > 0 or abs(self.jchi) > 0:
+            assert self.diag == 1, "diag != 1 unsupported with j4/jchi"
+            e_nn = e_nnn = e_chi = e_p = 0.0
+            for coord in state.sites:
+                nn, nnn, chi, p = self._eval_patches_per_site(coord, state, env, R, Rinv)
+                e_nn += nn
+                e_nnn += nnn
+                e_chi += chi
+                e_p += p
+            e_cell = (self.j1 * e_nn + self.j2 * e_nnn
+                      + self.j4 * e_p + self.jchi * e_chi)
+        else:
+            e_nn = e_diag = e_nnn = 0.0
+            for coord in state.sites:
+                nn, dg = self._eval_nn_per_site(coord, state, env, R, Rinv)
+                e_nn += nn
+                e_diag += dg
+                if abs(self.j2) > 0:
+                    e_nnn += self._eval_nnn_per_site(coord, state, env, R, Rinv)
+            e_cell = self.j1 * (e_nn + self.diag * e_diag) + self.j2 * e_nnn
         return _cast_to_real(e_cell / len(state.sites))
 
     def eval_obs(self, state, env):
