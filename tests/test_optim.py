@@ -87,3 +87,67 @@ class TestOptimizeC4v:
         e_fin = history["loss"][-1]
         assert e_fin < e0
         assert e_fin < -0.6, f"expected Heisenberg-like energy, got {e_fin}"
+
+
+def test_sgd_quadratic():
+    """SGD with momentum + backtracking minimizes a quadratic."""
+    from tpeps.optim.sgd import SGD
+
+    A = np.diag(np.asarray([1.0, 3.0, 10.0]))
+    b = np.asarray([1.0, -2.0, 0.5])
+
+    def closure(x):
+        return 0.5 * x @ A @ x - b @ x, A @ x - b
+
+    def closure_ls(x):
+        return 0.5 * x @ A @ x - b @ x
+
+    opt = SGD(lr=0.5, momentum=0.5, line_search_fn="backtracking", max_iter=1)
+    x = np.zeros(3)
+    for _ in range(60):
+        x, loss, g, info = opt.step_2c(x, closure, closure_ls)
+    xstar = np.linalg.solve(A, b)
+    assert np.abs(x - xstar).max() < 1e-4
+
+
+def test_optimize_state_sgd_driver():
+    """The epoch driver runs with opt_type=SGD on a tiny C4v problem and
+    lowers the energy."""
+    import jax
+    from tpeps.config import CtmArgs, OptArgs
+    from tpeps.ctm.c4v.ctmrg import converge_env
+    from tpeps.ctm.c4v.env import init_env
+    from tpeps.ipeps.ipeps_c4v import symmetrize_c4v
+    from tpeps.models.j1j2 import J1J2_C4V_BIPARTITE
+    from tpeps.optim.driver import optimize_state
+
+    a0 = jax.random.normal(jax.random.PRNGKey(2), (2, 2, 2, 2, 2), dtype=jnp.float64)
+    a0 = symmetrize_c4v(a0)
+    a0 = a0 / jnp.abs(a0).max()
+    model = J1J2_C4V_BIPARTITE(j1=1.0)
+    ctm = CtmArgs(ctm_max_iter=40, ctm_conv_tol=1e-8, grad_mode="scan",
+                  grad_tail_iter=8)
+
+    def loss_fn(params):
+        a = symmetrize_c4v(params["a"])
+        a = a / jnp.abs(a).max()
+        from tpeps.ctm.c4v.ctmrg import run_scan
+        env = run_scan(a, init_env(a, 8), 20, ctm)
+        return model.energy_1x1(a, env)
+
+    def loss_ls(params):
+        a = symmetrize_c4v(params["a"])
+        a = a / jnp.abs(a).max()
+        env = converge_env(a, init_env(a, 8), ctm)
+        return model.energy_1x1(a, env)
+
+    from tpeps.config import Config, MainArgs
+    cfg = Config(main=MainArgs(opt_max_iter=4),
+                 opt=OptArgs(opt_type="SGD", lr=0.2, momentum=0.0,
+                             line_search="backtracking"),
+                 ctm=ctm)
+    e0 = float(loss_ls({"a": a0}))
+    x, history = optimize_state({"a": a0}, loss_fn, cfg=cfg,
+                                loss_fn_linesearch=loss_ls)
+    e1 = float(loss_ls(x))
+    assert e1 < e0 - 1e-4, (e0, e1)

@@ -136,6 +136,7 @@ class CtmArgs:
 class OptArgs:
     """Optimizer args (reference config.py:417-505)."""
 
+    opt_type: str = "LBFGS"  # "LBFGS" | "SGD" (reference ad_optim_sgd_mod.py)
     lr: float = 1.0
     momentum: float = 0.0
     tolerance_grad: float = 1e-5

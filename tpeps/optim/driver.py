@@ -128,15 +128,28 @@ def optimize_state(
 
     line_search = {"default": "strong_wolfe", "strong_wolfe": "strong_wolfe",
                    "backtracking": "backtracking", "none": None}[opt_args.line_search]
-    opt = LBFGS(
-        n_params=x0.size,
-        lr=opt_args.lr,
-        max_iter=opt_args.max_iter_per_epoch,
-        history_size=opt_args.history_size,
-        tolerance_grad=opt_args.tolerance_grad,
-        tolerance_change=opt_args.tolerance_change,
-        line_search_fn=line_search,
-    )
+    if getattr(opt_args, "opt_type", "LBFGS").upper() == "SGD":
+        from .sgd import SGD
+
+        # SGD supports only the derivative-free backtracking line search
+        # (reference sgd_modified.py:210-230)
+        sgd_ls = "backtracking" if line_search == "backtracking" else None
+        opt = SGD(
+            lr=opt_args.lr,
+            momentum=opt_args.momentum,
+            line_search_fn=sgd_ls,
+            max_iter=opt_args.max_iter_per_epoch,
+        )
+    else:
+        opt = LBFGS(
+            n_params=x0.size,
+            lr=opt_args.lr,
+            max_iter=opt_args.max_iter_per_epoch,
+            history_size=opt_args.history_size,
+            tolerance_grad=opt_args.tolerance_grad,
+            tolerance_change=opt_args.tolerance_change,
+            line_search_fn=line_search,
+        )
 
     epoch0 = 0
     if opt_resume:
