@@ -204,3 +204,43 @@ class TestGradients:
         an = float(np.sum(grad * v))
         tol = 2e-3 if grad_mode == "implicit" else 5e-2
         assert abs(fd - an) < tol * max(abs(fd), 1e-8), f"fd={fd} ad={an}"
+
+
+def test_eh_spec_c4v():
+    """C4v EH spectrum wrapper: leading value 1, spectrum real for a
+    real reflection-symmetric state, and the generic-env expansion gives
+    the same width-1 transfer spectrum as the C4v-specialized one."""
+    import numpy as np
+    from tpeps.config import CtmArgs
+    from tpeps.ctm.c4v.ctmrg import converge_env
+    from tpeps.ctm.c4v.env import init_env, env_c4v_to_generic
+    from tpeps.ctm.c4v.transferops import get_Top_spec_c4v, get_EH_spec_Ttensor_c4v
+    from tpeps.ctm.generic.transferops import get_Top_spec
+    from tpeps.ipeps.ipeps_c4v import symmetrize_c4v
+
+    import jax
+
+    a = jax.random.normal(jax.random.PRNGKey(5), (2, 2, 2, 2, 2), dtype=jnp.float64)
+    a = symmetrize_c4v(a)
+    a = a / jnp.abs(a).max()
+    env = converge_env(a, init_env(a, 8), CtmArgs(ctm_max_iter=80, ctm_conv_tol=1e-10))
+
+    S = get_EH_spec_Ttensor_c4v(4, 3, a, env)
+    w = S[:, 0] + 1j * S[:, 1]
+    assert abs(abs(w[0]) - 1.0) < 1e-12
+    assert np.all(np.abs(w[1:]) <= 1.0 + 1e-12)
+
+    # generic-env expansion consistency on the width-1 transfer operator
+    sites, site_of, C, T = env_c4v_to_generic(a, env)
+
+    class _St:
+        lX = lY = 1
+        sites = {(0, 0): a}
+        vertexToSite = staticmethod(site_of)
+    class _Env:
+        chi = env.C.shape[0]
+    _e = _Env(); _e.C, _e.T = C, T
+    s_c4v = np.asarray(get_Top_spec_c4v(4, a, env))
+    s_gen = np.asarray(get_Top_spec(4, (0, 0), (1, 0), _St(), _e))
+    assert np.abs(np.abs(s_c4v[:, 0] + 1j * s_c4v[:, 1])
+                  - np.abs(s_gen[:, 0] + 1j * s_gen[:, 1])).max() < 1e-8

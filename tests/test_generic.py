@@ -232,3 +232,43 @@ class TestGradientGeneric:
         fd = (loss_ng(pp) - loss_ng(pm)) / (2 * eps)
         an = float(sum(jnp.sum(grad[c] * jnp.asarray(v[c])) for c in grad))
         assert abs(fd - an) < 5e-2 * max(abs(fd), 1e-8)
+
+
+def test_eh_spec_ttensor_matches_dense():
+    """EH spectrum matvec agrees with the densely contracted
+    sigma_dir.sigma_opp operator for small L, D."""
+    import numpy as np
+    from tpeps.config import CtmArgs
+    from tpeps.ctm.generic.ctmrg import run
+    from tpeps.ctm.generic.env import init_env
+    from tpeps.ctm.generic.transferops import get_EH_spec_Ttensor, _eh_T
+    from tpeps.ipeps.ipeps import IPEPS
+
+    rng = np.random.RandomState(23)
+    a = jnp.asarray(rng.rand(2, 2, 2, 2, 2) - 0.5)
+    state = IPEPS(sites={(0, 0): a / jnp.linalg.norm(a)}, lX=1, lY=1)
+    env = init_env(state, 8, "CTMRG")
+    env, _ = run(state, env, CtmArgs(ctm_max_iter=80, ctm_conv_tol=1e-10))
+
+    direction = (1, 0)
+    d_opp = (-1, 0)
+    for L in (2, 3):
+        # dense sigma: chain of L identical T[chi,chi,Do,Di], chi traced
+        def dense_sigma(d):
+            T = np.asarray(_eh_T(state, env, (0, 0), d))
+            if L == 2:
+                s = np.einsum("udoi,dupq->opiq", T, T)
+            else:
+                s = np.einsum("udoi,dwpq,wurs->opriqs", T, T, T)
+            return s.reshape(2**L, 2**L)
+        M = dense_sigma(d_opp) @ dense_sigma(direction)
+        w_dense = np.linalg.eigvals(M)
+        w_dense = w_dense[np.argsort(-np.abs(w_dense))]
+        w_dense = w_dense / np.abs(w_dense[0])
+
+        n = 3
+        S = get_EH_spec_Ttensor(n, L, (0, 0), direction, state, env)
+        w = S[:, 0] + 1j * S[:, 1]
+        # compare moduli (phases/gauge may differ in degenerate pairs)
+        assert np.abs(np.abs(w) - np.abs(w_dense[:n])).max() < 1e-8, L
+        assert np.abs(np.sort(w.real) - np.sort(w_dense[:n].real)).max() < 1e-7, L

@@ -183,3 +183,25 @@ def test_spin1_kagome_p_bonds():
     p23, p13, p12 = model.P_bonds_nn(state, env)
     for p in (p23, p13, p12):
         assert np.isfinite(float(p)) and abs(float(p)) < 1.0 + 1e-8
+
+
+def test_d2_ladders_rung_singlet():
+    """D2 ansatz: a rung product state (identity parent on the strong
+    'down' bond) gives exactly -3/8 per site at alpha=0, and the weak
+    bonds add alpha * (-3/4)/2 when alpha > 0 is evaluated on the same
+    state's odd rows (zero here since odd rungs are uncorrelated)."""
+    from tpeps.ipeps.ipeps_c4v import IPEPS_D2SYM
+    from tpeps.models.coupledLadders import COUPLEDLADDERS_D2_BIPARTITE
+
+    P = np.zeros((2, 2, 2, 2, 2))
+    for s in range(2):
+        P[s, 0, 0, s, 0] = 1.0
+    state = IPEPS_D2SYM(jnp.asarray(P))
+    # D2 structure: sites[(0,1)] is the u<->d transpose
+    assert float(jnp.abs(state.sites[(0, 1)]
+                         - state.sites[(0, 0)].transpose(0, 3, 2, 1, 4)).max()) == 0.0
+    env = _converge(state, 8, max_iter=60, tol=1e-9)
+    for alpha in (0.0, 0.5):
+        model = COUPLEDLADDERS_D2_BIPARTITE(alpha=alpha)
+        e = float(model.energy_2x1_1x2(state, env))
+        assert abs(e - (-0.375)) < 1e-8, (alpha, e)

@@ -130,3 +130,23 @@ def compute_multiplets(C, eps_multiplet_gap: float = 1.0e-10):
             m.append(l)
             l = 0
     return D[:-1], m
+
+
+def env_c4v_to_generic(a, env: EnvC4v):
+    """Expand the single (C, T) pair into the per-site/per-direction
+    generic environment dictionaries (the inverse of the specialization
+    ENV -> ENV_C4V, reference env_c4v.py:7-165): all four corners equal C
+    (hermitian), T oriented per the generic index conventions
+    (tpeps/ctm/generic/env.py:8-12).
+
+    :return: ``(sites, vertexToSite, C_dict, T_dict)`` for a 1x1 cell
+    """
+    c = (0, 0)
+    C_dict = {(c, v): env.C for v in ((-1, -1), (1, -1), (1, 1), (-1, 1))}
+    T_dict = {
+        (c, (0, -1)): env.T.transpose(0, 2, 1),
+        (c, (-1, 0)): env.T,
+        (c, (0, 1)): env.T.transpose(2, 0, 1),
+        (c, (1, 0)): env.T.transpose(0, 2, 1),
+    }
+    return {c: a}, (lambda coord: c), C_dict, T_dict

@@ -22,8 +22,36 @@ def get_Top_spec_c4v(n: int, a, env: EnvC4v, normalize: bool = True, m: int | No
     def matvec(v):
         return apply_TM_1sO(a, env, v.reshape(shape)).ravel()
 
-    v0 = jnp.ones((chi * D2 * chi,), dtype=a.dtype)
+    # random start: a structured start can be orthogonal to
+    # symmetry-odd eigenvectors and silently skip levels
+    rng = np.random.RandomState(1234)
+    v0 = jnp.asarray(rng.rand(chi * D2 * chi) - 0.5, dtype=a.dtype)
     w = arnoldi_eigs(matvec, v0, n, m=m)
     if normalize:
         w = w / np.abs(w[0])
     return jnp.asarray(np.stack([w.real, w.imag], axis=1))
+
+
+def get_EH_spec_Ttensor_c4v(n, L, a, env: EnvC4v, m: int | None = None):
+    """Entanglement-Hamiltonian spectrum of a width-L cylinder in the
+    C4v setting (reference transferops_c4v.py:119-221), via the generic
+    evaluator over the expanded single-site environment."""
+    from ..generic.transferops import get_EH_spec_Ttensor
+    from .env import env_c4v_to_generic
+
+    sites, site_of, C, T = env_c4v_to_generic(a, env)
+
+    class _St:
+        lX = lY = 1
+
+        def site(self, coord=(0, 0)):
+            return a
+
+        vertexToSite = staticmethod(site_of)
+
+    class _Env:
+        chi = env.C.shape[0]
+
+    _e = _Env()
+    _e.C, _e.T = C, T
+    return get_EH_spec_Ttensor(n, L, (0, 0), (1, 0), _St(), _e, m=m)

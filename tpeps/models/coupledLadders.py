@@ -82,3 +82,35 @@ class COUPLEDLADDERS:
             + [f"SS1x2{c}" for c in sites]
         )
         return [obs[l] for l in labels], labels
+
+
+class COUPLEDLADDERS_D2_BIPARTITE:
+    """Coupled ladders over the D2-symmetric 1x2 ansatz: AFM pattern
+    realized by rotated operators instead of a 2x2 cell
+    (reference models/coupledLadders.py:317-431)."""
+
+    def __init__(self, alpha=0.0, dtype=jnp.float64):
+        self.dtype = dtype
+        self.phys_dim = 2
+        self.alpha = alpha
+        s2 = su2.SU2(self.phys_dim, dtype=dtype)
+        self.h2 = s2.SS()
+        rot = s2.BP_rot()
+        self.h2_rot = jnp.einsum("ki,kjcb,ca->ijab", rot, self.h2, rot)
+        self.obs_ops = {"sz": s2.SZ(), "sp": s2.SP(), "sm": s2.SM()}
+
+    def energy_2x1_1x2(self, state, env):
+        """(reference coupledLadders.py:370-431): strong rungs on even
+        rows, weak (alpha) bonds on odd rows with reversed orientation."""
+        sites, site_of = dict(state.sites), state.vertexToSite
+        e = 0.0
+        for coord in state.sites:
+            r21 = rdm_gen.rdm2x1(coord, sites, site_of, env.C, env.T)
+            r12 = rdm_gen.rdm1x2(coord, sites, site_of, env.C, env.T)
+            e = e + jnp.einsum("ijab,ijab", r21, self.h2_rot)
+            if coord[1] % 2 == 0:
+                e = e + jnp.einsum("ijab,ijab", r12, self.h2_rot)
+            else:
+                e = e + jnp.einsum("ijab,jiba", r12, self.alpha * self.h2_rot)
+        e = e / len(state.sites)
+        return _cast_to_real(e)
