@@ -244,3 +244,26 @@ def test_eh_spec_c4v():
     s_gen = np.asarray(get_Top_spec(4, (0, 0), (1, 0), _St(), _e))
     assert np.abs(np.abs(s_c4v[:, 0] + 1j * s_c4v[:, 1])
                   - np.abs(s_gen[:, 0] + 1j * s_gen[:, 1])).max() < 1e-8
+
+
+def test_aux_rdm1x1_properties():
+    """aux RDM of the boundary ring: contracting it with the site's
+    ket/bra layers and hermitizing reproduces rdm1x1 exactly."""
+    import numpy as np
+    import jax
+    from tpeps.config import CtmArgs
+    from tpeps.ctm.c4v.ctmrg import converge_env
+    from tpeps.ctm.c4v.env import init_env
+    from tpeps.ctm.c4v.rdm import aux_rdm1x1, rdm1x1_sl
+    from tpeps.ipeps.ipeps_c4v import symmetrize_c4v
+
+    a = jax.random.normal(jax.random.PRNGKey(9), (2, 3, 3, 3, 3), dtype=jnp.float64)
+    a = symmetrize_c4v(a)
+    a = a / jnp.abs(a).max()
+    env = converge_env(a, init_env(a, 10), CtmArgs(ctm_max_iter=80, ctm_conv_tol=1e-10))
+    D = a.shape[1]
+    rho = aux_rdm1x1(env, D)
+    num = jnp.einsum("uldrULDR,suldr,zULDR->sz", rho, a, jnp.conj(a))
+    num = 0.5 * (num + num.conj().T)  # rdm1x1 hermitizes (sym_pos_def path)
+    rec = num / jnp.trace(num)
+    assert float(jnp.abs(rec - rdm1x1_sl(a, env)).max()) < 1e-13

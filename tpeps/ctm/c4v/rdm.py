@@ -217,3 +217,32 @@ def rdm2x2(a, env: EnvC4v, sym_pos_def: bool = False):
     # (reference rdm_c4v.py:1536-1539 permute 0,2,6,4,1,3,7,5)
     rho = rho.transpose(0, 2, 6, 4, 1, 3, 7, 5)
     return _sym_pos_def_rdm(rho, sym_pos_def=sym_pos_def)
+
+
+def aux_rdm1x1(env: EnvC4v, D: int):
+    """Auxiliary (virtual-index) RDM of a 1x1 patch: the boundary ring
+    C-T-C-T-C-T-C-T with the four D^2 legs opened and split into
+    (ket, bra) pairs, giving rho[u l d r, u' l' d' r']
+    (reference rdm_c4v.py:1630-1676 ``aux_rdm1x1``).
+
+    Built with exactly the contraction sequence of the validated
+    generic rdm1x1 (tpeps/ctm/generic/rdm.py:26-51) with the site
+    insertion removed, so ``einsum("uldrULDR,suldr,zULDR->sz", rho, a,
+    conj(a))`` reproduces rdm1x1 exactly.
+    """
+    C = env.C
+    chi = C.shape[0]
+    Tl = env.T.reshape(chi, chi, D, D)
+    Tt = env.T.transpose(0, 2, 1).reshape(chi, D, D, chi)
+    Tb = env.T.transpose(2, 0, 1).reshape(D, D, chi, chi)
+    Tr = env.T.transpose(0, 2, 1).reshape(chi, D, D, chi)
+
+    L = jnp.einsum("xy,xblk->yblk", C, Tl)
+    L = jnp.einsum("yblk,bw->ylkw", L, C)
+    q = jnp.einsum("ylkw,yuvi->lkwuvi", L, Tt)
+    q = jnp.einsum("lkwuvi,dewj->lkuvidej", q, Tb)
+    R = jnp.einsum("pq,qmnb->pmnb", C, Tr)
+    R = jnp.einsum("pmnb,bj->pmnj", R, C)
+    rho = jnp.einsum("lkuvidej,imnj->uvlkdemn", q, R)
+    # [u,u', l,l', d,d', r,r'] -> kets then bras
+    return rho.transpose(0, 2, 4, 6, 1, 3, 5, 7)
