@@ -44,6 +44,31 @@ def accelerator_alive(timeout: int = 180) -> bool:
         return False
 
 
+def move_flops(D, chi, slice_phys):
+    """XLA's own FLOP estimate for one jitted CTMRG move (receipts for
+    the achieved-TFLOP/s number; counts the compiled HLO, not a model)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpeps.ctm.c4v.env import init_env
+    from tpeps.ctm.c4v.move_tpu import _jit_move, to_tpu_layout
+    from tpeps.ipeps.ipeps_c4v import symmetrize_c4v
+
+    rng = np.random.RandomState(0)
+    a = symmetrize_c4v(jnp.asarray(rng.rand(2, D, D, D, D) - 0.5), normalize=True)
+    env0 = init_env(a, chi, "CTMRG")
+    T_int = to_tpu_layout(env0.T, D)
+    P0 = jnp.zeros((chi * D * D, chi), dtype=a.dtype)
+    try:
+        lowered = _jit_move.lower(a, env0.C, T_int, P0, slice_phys=slice_phys)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
 def bench_case(D, chi, max_iter=30):
     import jax.numpy as jnp
 
@@ -68,7 +93,8 @@ def bench_case(D, chi, max_iter=30):
     ms_per_move = 1000.0 * wall / max(n2, 1)
     # sanity: environment spectra finite and normalized
     assert np.isfinite(np.asarray(env2.C)).all()
-    return ms_per_move, n2
+    flops = move_flops(D, chi, slice_phys=(D >= 7))
+    return ms_per_move, n2, flops
 
 
 def main():
@@ -85,25 +111,27 @@ def main():
     import tpeps  # noqa: F401  (enables x64)
 
     cases = ((7, 147), (6, 108)) if on_accel else ((5, 75), (4, 48))
+    n_ok = 0
     for D, chi in cases:
         try:
-            ms, n_moves = bench_case(D, chi)
+            ms, n_moves, flops = bench_case(D, chi)
         except Exception as e:
             print(f"# D={D} failed: {type(e).__name__}: {e}", file=sys.stderr)
             continue
-        print(
-            json.dumps(
-                {
-                    "metric": f"ctmrg_move_c4v_D{D}_chi{chi}_f64"
-                    + ("" if on_accel else "_cpufallback"),
-                    "value": round(ms, 3),
-                    "unit": "ms/move",
-                    "vs_baseline": round(REF_CPU_MS[D] / ms, 1),
-                }
-            )
-        )
-        return
-    print(json.dumps({"metric": "ctmrg_move_c4v", "value": -1, "unit": "ms/move", "vs_baseline": 0}))
+        n_ok += 1
+        rec = {
+            "metric": f"ctmrg_move_c4v_D{D}_chi{chi}_f64"
+            + ("" if on_accel else "_cpufallback"),
+            "value": round(ms, 3),
+            "unit": "ms/move",
+            "vs_baseline": round(REF_CPU_MS[D] / ms, 1),
+        }
+        if flops > 0:
+            rec["flops_per_move"] = flops
+            rec["achieved_tflops"] = round(flops / (ms / 1000.0) / 1e12, 4)
+        print(json.dumps(rec))
+    if n_ok == 0:
+        print(json.dumps({"metric": "ctmrg_move_c4v", "value": -1, "unit": "ms/move", "vs_baseline": 0}))
 
 
 if __name__ == "__main__":

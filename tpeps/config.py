@@ -110,8 +110,12 @@ class CtmArgs:
     ctm_env_init_type: str = "CTMRG"
     ctm_conv_tol: float = 1.0e-8
     ctm_absorb_normalization: str = "inf"
-    projector_method: str = "4X4"
+    projector_method: str = "4X4"  # generic-stack enlarged-corner scheme (only 4X4)
+    # C4v projector decomposition: DEFAULT/SYMEIG (dense symmetric eig) or
+    # POWER (warm-started subspace iteration, the TPU-native path;
+    # see tpeps/linalg/power.py).  Plumbed by ctm.c4v.ctmrg.converge_env.
     projector_svd_method: str = "DEFAULT"
+    n_power: int = 2  # POWER: subspace-iteration steps per move
     projector_svd_reltol: float = 1.0e-8
     projector_eps_multiplet: float = 1.0e-8
     projector_multiplet_abstol: float = 1.0e-14

@@ -332,6 +332,7 @@ def run_fixed_point(
 def _make_converge_implicit(
     keep_multiplets, eps_multiplet, ad_decomp_reg, absorb_normalization,
     max_iter, conv_tol, adjoint_max_iter, adjoint_tol,
+    projector_method="SYMEIG", n_power=2,
 ):
     """Factory for the custom-VJP converged-environment function.
 
@@ -340,12 +341,21 @@ def _make_converge_implicit(
     iteration, accumulating ``abar = sum_k (df/da)^T u_k``.  This is the
     implicit-function-theorem gradient of the CTMRG fixed point —
     constant memory in the number of forward iterations.
+
+    The Neumann series only converges when the move's Jacobian at the
+    fixed point is contracting; near criticality its spectral radius
+    approaches 1 and the series can diverge.  The backward loop guards
+    against this: it tracks ``‖u_k‖`` and aborts (keeping the partial
+    sum, warning via ``jax.debug.print``) once the norm has grown for
+    two consecutive iterations — a silently wrong gradient becomes a
+    loudly truncated one.  Use ``grad_mode="scan"`` near criticality.
     """
     move_ad = partial(
         ctm_move_sl,
         keep_multiplets=keep_multiplets, eps_multiplet=eps_multiplet,
         ad_decomp_reg=ad_decomp_reg, absorb_normalization=absorb_normalization,
         sg_norm=False, gauge_fix=True,
+        projector_method=projector_method, n_power=n_power,
     )
 
     def _converge_raw(a, env):
@@ -354,6 +364,7 @@ def _make_converge_implicit(
             keep_multiplets=keep_multiplets, eps_multiplet=eps_multiplet,
             ad_decomp_reg=ad_decomp_reg, absorb_normalization=absorb_normalization,
             conv_on="env",
+            projector_method=projector_method, n_power=n_power,
         )
 
     @jax.custom_vjp
@@ -380,16 +391,32 @@ def _make_converge_implicit(
         da0 = jax.tree_util.tree_map(jnp.zeros_like, a)
 
         def cond(carry):
-            _, u, i, delta = carry
-            return jnp.logical_and(i < adjoint_max_iter, delta > adjoint_tol**2 * cot_norm)
+            _, u, i, delta, _, grew = carry
+            return jnp.logical_and(
+                jnp.logical_and(i < adjoint_max_iter, delta > adjoint_tol**2 * cot_norm),
+                grew < 2,  # divergence guard: stop on non-contracting series
+            )
 
         def body(carry):
-            da, u, i, _ = carry
+            da, u, i, delta, _, grew = carry
             da_i, u_next = vjp_fn(u)
             da = jax.tree_util.tree_map(jnp.add, da, da_i)
-            return (da, u_next, i + 1, norm2(u_next))
+            delta_next = norm2(u_next)
+            grew = jnp.where(delta_next > delta, grew + 1, 0)
+            return (da, u_next, i + 1, delta_next, delta, grew)
 
-        da, _, _, _ = lax.while_loop(cond, body, (da0, cot, jnp.asarray(0), jnp.inf))
+        init = (da0, cot, jnp.asarray(0), cot_norm, jnp.asarray(jnp.inf), jnp.asarray(0))
+        da, _, n_adj, delta_f, _, grew_f = lax.while_loop(cond, body, init)
+        diverged = jnp.logical_and(grew_f >= 2, delta_f > adjoint_tol**2 * cot_norm)
+        jax.lax.cond(
+            diverged,
+            lambda: jax.debug.print(
+                "tpeps: implicit CTMRG adjoint diverging (|u| grew twice, "
+                "iter {i}, |u|^2={d}); gradient truncated — use grad_mode='scan'",
+                i=n_adj, d=delta_f,
+            ),
+            lambda: None,
+        )
         zero_env = jax.tree_util.tree_map(jnp.zeros_like, e)
         return (da, zero_env)
 
@@ -397,14 +424,30 @@ def _make_converge_implicit(
     return converge
 
 
+def _cfg_projector(ctm_cfg):
+    """Resolve (projector_method, n_power) from CtmArgs.
+
+    ``projector_svd_method`` follows the reference's SVD-method selector
+    (config.py:246-415) reduced to the TPU-sensible zoo: DEFAULT/SYMEIG
+    (dense symmetric eig) or POWER (warm-started subspace iteration)."""
+    method = ctm_cfg.projector_svd_method
+    if method in ("DEFAULT", "SYMEIG"):
+        method = "SYMEIG"
+    elif method != "POWER":
+        raise ValueError(f"Unsupported projector_svd_method {method}")
+    return method, getattr(ctm_cfg, "n_power", 2)
+
+
 def converge_env(a, env: EnvC4v, ctm_cfg) -> EnvC4v:
     """Differentiable converged environment with the strategy selected by
     ``ctm_cfg.grad_mode`` (see :class:`tpeps.config.CtmArgs`)."""
+    method, n_power = _cfg_projector(ctm_cfg)
     if ctm_cfg.grad_mode == "implicit":
         fn = _make_converge_implicit(
             True, 1.0e-12, ctm_cfg.ad_decomp_reg, ctm_cfg.ctm_absorb_normalization,
             ctm_cfg.ctm_max_iter, ctm_cfg.ctm_conv_tol,
             ctm_cfg.grad_adjoint_max_iter, ctm_cfg.grad_adjoint_tol,
+            method, n_power,
         )
         return fn(a, env)
     if ctm_cfg.grad_mode == "scan":
@@ -413,6 +456,7 @@ def converge_env(a, env: EnvC4v, ctm_cfg) -> EnvC4v:
             max_iter=ctm_cfg.ctm_max_iter, conv_tol=ctm_cfg.ctm_conv_tol,
             ad_decomp_reg=ctm_cfg.ad_decomp_reg,
             absorb_normalization=ctm_cfg.ctm_absorb_normalization,
+            projector_method=method, n_power=n_power,
         )
         e0 = lax.stop_gradient(e0)
         return run_scan(a, e0, ctm_cfg.grad_tail_iter, ctm_cfg)
@@ -427,11 +471,13 @@ def run_scan(a, env: EnvC4v, n_iter: int, ctm_cfg) -> EnvC4v:
     rematerialized in the backward pass (``jax.checkpoint``), so memory
     is one environment + one move regardless of ``n_iter``.
     """
+    method, n_power = _cfg_projector(ctm_cfg)
     move = partial(
         ctm_move_sl,
         ad_decomp_reg=ctm_cfg.ad_decomp_reg,
         absorb_normalization=ctm_cfg.ctm_absorb_normalization,
         sg_norm=True, gauge_fix=True,
+        projector_method=method, n_power=n_power,
     )
 
     def step(carry, _):

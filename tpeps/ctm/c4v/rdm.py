@@ -24,8 +24,23 @@ from .env import EnvC4v
 
 
 def _cast_to_real(t, imag_eps: float = 1.0e-8):
-    """Drop a (checked-small) imaginary part (reference ctm/generic/rdm.py:26-35)."""
+    """Drop a (checked-small) imaginary part (reference ctm/generic/rdm.py:26-35).
+
+    A large imaginary part of an RDM trace/energy is a broken-environment
+    symptom the reference surfaces with a warning; under tracing the check
+    is skipped (host callbacks in the hot differentiated path are not
+    worth it), but eval-time concrete values are checked."""
     if jnp.iscomplexobj(t):
+        if not isinstance(t, jax.core.Tracer):
+            im, re = float(jnp.abs(t.imag).max()), float(jnp.abs(t.real).max())
+            if im > imag_eps * max(re, 1.0):
+                import warnings
+
+                warnings.warn(
+                    f"_cast_to_real: imaginary part {im:.3e} exceeds "
+                    f"{imag_eps:.1e}x real part {re:.3e} — environment "
+                    "may be broken", stacklevel=2,
+                )
         return t.real
     return t
 

@@ -211,6 +211,11 @@ def make_ctmrg_iter(state, chi: int, ctm_cfg):
     """
     site_of = state.vertexToSite
     lX, lY = state.lX, state.lY
+    if ctm_cfg.projector_method != "4X4":
+        raise ValueError(
+            f"generic CTM implements only projector_method='4X4' "
+            f"(got {ctm_cfg.projector_method!r}; reference 4X2 not ported)"
+        )
     move_seq = tuple(tuple(d) for d in ctm_cfg.ctm_move_sequence)
     proj_kwargs = dict(
         svd_reltol=ctm_cfg.projector_svd_reltol,

@@ -46,8 +46,12 @@ def get_Top_spec(n: int, coord, direction, state, env, m: int | None = None):
             cc = (cc[0] + direction[0], cc[1] + direction[1])
         return E.ravel()
 
-    key_v0 = jnp.ones((size,), dtype=a.dtype)
-    w = arnoldi_eigs(matvec, key_v0, n, m=m)
+    # seeded random start (matches ctm/c4v/transferops.py:27-28): a
+    # structured start can be exactly orthogonal to symmetry-odd
+    # eigenvectors and silently skip transfer-spectrum levels
+    rng = np.random.RandomState(1234)
+    v0 = jnp.asarray(rng.rand(size) - 0.5, dtype=a.dtype)
+    w = arnoldi_eigs(matvec, v0, n, m=m)
     w = w / np.abs(w[0])
     return jnp.asarray(np.stack([w.real, w.imag], axis=1))
 

@@ -189,6 +189,10 @@ class J1J2_C4V_BIPARTITE(J1J2):
     def energy_1x1(self, a, env: EnvC4v):
         """Energy per site from the full 2x2-plaquette RDM
         (reference j1j2.py:592-641)."""
+        assert self.lmbd == 0, (
+            "energy_1x1 does not include the lambda chiral plaquette term; "
+            "use J1J2LAMBDA_C4V_BIPARTITE (tpeps.models.j1j2lambda)"
+        )
         rho2x2 = rdm_c4v.rdm2x2(a, env, sym_pos_def=True)
         e = jnp.einsum("ijklabcd,ijklabcd", rho2x2, self.hp_rot)
         if abs(self.j3) > 0:

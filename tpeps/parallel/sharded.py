@@ -70,9 +70,11 @@ def ensemble_train_step(mesh: Mesh, model_energy, chi: int, n_ctm_iter: int = 4,
     def one_loss(A):
         a = symmetrize_c4v(A, normalize=True)
         env = init_env(a, chi, "CTMRG")
+        env = _tp_constraint(mesh, env)
         P_ref = jnp.zeros((chi * a.shape[1] ** 2, chi), dtype=a.dtype)
         for _ in range(n_ctm_iter):
             env, _, P_ref = ctm_move_sl(a, env, P_ref)
+            env = _tp_constraint(mesh, env)
         return model_energy(a, env)
 
     def step(A_batch):
