@@ -1,0 +1,160 @@
+"""Abelian block-sparse stack tests.
+
+Strategy (SURVEY.md §4): (1) algebraic invariants of the tensor core,
+(2) the dense engine as oracle — the abelian CTM must reproduce dense
+results on the *same* state to machine/convergence precision, (3) the
+reference's committed U(1) states as golden fixtures
+(test-input/abelian/c4v, energy golden
+examples/j1j2/abelian/ctmrg_j1j2_u1.py:218).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpeps.config import CtmArgs
+from tpeps.ctm.generic import ctmrg as ctmrg_d
+from tpeps.ctm.generic import env as env_d
+from tpeps.ctm.generic import rdm as rdm_d
+from tpeps.ctm.generic_abelian import ctmrg as ctmrg_ab
+from tpeps.ctm.generic_abelian import env as env_ab
+from tpeps.ctm.generic_abelian import rdm as rdm_ab
+from tpeps.ipeps.ipeps_abelian import IPEPS_ABELIAN
+from tpeps.models.abelian.j1j2 import J1J2_ABELIAN
+from tpeps.models.j1j2 import J1J2
+from tpeps.sym.io import read_ipeps_abelian, write_ipeps_abelian
+from tpeps.sym.tensor import AbelianTensor, leg
+
+from refutil import REF_PATH, reference_available
+
+U1_D3_STATE = os.path.join(
+    REF_PATH,
+    "test-input/abelian/c4v/BFGS100LS_U1B_D3-chi72-j20.0-run0-iRNDseed321_blocks_2site_state.json",
+)
+
+needs_ref = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not available"
+)
+
+
+def bipartite(coord):
+    vx = (coord[0] + abs(coord[0]) * 2) % 2
+    vy = abs(coord[1])
+    return ((vx + vy) % 2, 0)
+
+
+def random_u1_state(seed=0, backend="np"):
+    """Random 1-site U(1) iPEPS, D=3 (sectors {0:1, +-1:1} on aux legs)."""
+    key = jax.random.PRNGKey(seed)
+    phys = leg({-1: 1, 1: 1})
+    aux = leg({-1: 1, 0: 1, 1: 1})
+    a = AbelianTensor.random(
+        key, "U1", (-1, -1, -1, 1, 1), (phys, aux, aux, aux, aux), n=1,
+        backend=backend,
+    )
+    return IPEPS_ABELIAN("U1", {(0, 0): a})
+
+
+# ----------------------------------------------------------------- core
+
+
+def test_fuse_pair_contraction_invariant():
+    """Contracting two tensors over a fused pair equals contracting the
+    unfused legs (the property the CTM init relies on)."""
+    st = random_u1_state(3)
+    a = st.site((0, 0))
+    # double layer traced over phys+u: legs (l,d,r,l',d',r')
+    t = a.tensordot(a.conj(), ((0, 1), (0, 1)))
+    t2 = t.transpose((0, 3, 1, 4, 2, 5))  # (l,l',d,d',r,r')
+    # contract r-pair of t2 with l-pair of the same network one site over
+    s = a.tensordot(a.conj(), ((0, 1), (0, 1))).transpose((0, 3, 1, 4, 2, 5))
+    direct = t2.tensordot(s, ((4, 5), (0, 1)))
+    tf = t2.fuse_pair(4)
+    sf = s.fuse_pair(0)
+    fused = tf.tensordot(sf, ((4,), (0,)))
+    assert float((direct.fuse_pair(0).fuse_pair(1) + (-1.0) * fused.fuse_pair(0).fuse_pair(1)).norm()) < 1e-13
+
+
+def test_io_roundtrip(tmp_path):
+    st = random_u1_state(5)
+    p = str(tmp_path / "state.json")
+    write_ipeps_abelian(st, p)
+    st2 = read_ipeps_abelian(p)
+    a, b = st.site((0, 0)), st2.site((0, 0))
+    assert a.signature == b.signature and a.n == b.n
+    assert set(a.blocks) == set(b.blocks)
+    for q in a.blocks:
+        assert np.allclose(np.asarray(a.blocks[q]), np.asarray(b.blocks[q]))
+
+
+# --------------------------------------------------- dense-oracle checks
+
+
+def test_init_env_rdms_match_dense():
+    """Abelian init env + RDMs == dense init env + RDMs (same network,
+    chi >= D^2 so the dense init does not truncate)."""
+    st = random_u1_state(7)
+    dense = st.to_dense()
+    chi = 9
+    eA = env_ab.init_env(st, chi)
+    eD = env_d.init_env(dense, chi)
+    args_d = (dense.sites, dense.vertexToSite, eD.C, eD.T)
+    for name, f_ab, f_d in (
+        ("rdm1x1", rdm_ab.rdm1x1, rdm_d.rdm1x1),
+        ("rdm2x1", rdm_ab.rdm2x1, rdm_d.rdm2x1),
+        ("rdm1x2", rdm_ab.rdm1x2, rdm_d.rdm1x2),
+        ("rdm2x2", rdm_ab.rdm2x2, rdm_d.rdm2x2),
+        ("rdm2x2_NNN_11", rdm_ab.rdm2x2_NNN_11, rdm_d.rdm2x2_NNN_11),
+        ("rdm2x2_NNN_1n1", rdm_ab.rdm2x2_NNN_1n1, rdm_d.rdm2x2_NNN_1n1),
+    ):
+        coord = (0, 0) if "1n1" not in name else (0, 1)
+        ra = f_ab(coord, st, eA)
+        rd = f_d(coord, *args_d)
+        assert float(jnp.abs(ra - rd).max()) < 1e-12, name
+
+
+@needs_ref
+def test_converged_energy_matches_dense():
+    """Abelian CTMRG converged energy == dense CTMRG converged energy on
+    the same committed U(1) state (engine cross-consistency, the
+    reference's *_to_dense.py test pattern)."""
+    st = read_ipeps_abelian(U1_D3_STATE, vertexToSite=bipartite)
+    dense = st.to_dense()
+    cfg = CtmArgs(ctm_max_iter=60, ctm_conv_tol=1e-9)
+    chi = 24
+
+    eA, _ = ctmrg_ab.run(st, env_ab.init_env(st, chi), cfg)
+    model_ab = J1J2_ABELIAN(j1=1.0, j2=0.0)
+    e_ab = float(model_ab.energy_per_site(st, eA))
+
+    eD, _ = ctmrg_d.run(dense, env_d.init_env(dense, chi), cfg)
+    model_d = J1J2(j1=1.0, j2=0.0)
+    e_d = float(model_d.energy_per_site(dense, eD))
+    assert abs(e_ab - e_d) < 1e-8
+
+
+# ------------------------------------------------------------- goldens
+
+
+@needs_ref
+def test_golden_u1_d3_bipartite():
+    """Reference golden: U(1) 2-site D=3 chi=32, j2=0 — energy/site
+    -0.6645979511667757 and observables
+    (examples/j1j2/abelian/ctmrg_j1j2_u1.py:218-225)."""
+    st = read_ipeps_abelian(U1_D3_STATE, vertexToSite=bipartite)
+    model = J1J2_ABELIAN(j1=1.0, j2=0.0)
+    cfg = CtmArgs(ctm_max_iter=60, ctm_conv_tol=1e-9)
+    env, _ = ctmrg_ab.run(st, env_ab.init_env(st, 32), cfg)
+    e = float(model.energy_per_site(st, env))
+    assert abs(e - (-0.6645979511667757)) < 1e-6
+
+    obs, labels = model.eval_obs(st, env)
+    od = dict(zip(labels, obs))
+    for c in ((0, 0), (1, 0)):
+        assert abs(od[f"m{c}"] - 0.3713621967866411) < 1e-6
+        assert abs(abs(complex(od[f"sz{c}"]).real) - 0.37136219678664095) < 1e-6
+        assert abs(od[f"SS2x1{c}"] - (-0.33229727696449596)) < 1e-6
+        assert abs(od[f"SS1x2{c}"] - (-0.3322972769393827)) < 1e-6

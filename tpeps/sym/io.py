@@ -1,0 +1,141 @@
+"""JSON (de)serialization of abelian block-sparse iPEPS.
+
+Reads/writes the reference's abelian state format (reference
+ipeps/tensor_io.py:37-343 ``read_json_abelian_tensor_legacy`` /
+``serialize_abelian_tensor_legacy``): per-site ``blocks`` each carrying
+per-leg ``charges``, ``dims`` and sparse ``entries`` ("i j .. value" or
+"i j .. re im").  The committed reference states in
+``test-input/abelian/`` load directly — free golden fixtures.
+"""
+
+from __future__ import annotations
+
+import json
+from collections import OrderedDict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ipeps.ipeps_abelian import IPEPS_ABELIAN
+from .tensor import AbelianTensor, leg
+
+_SYM_OF = {"U(1)": "U1", "U1": "U1", "Z2": "Z2", "U(1)xU(1)": "U1xU1", "U1xU1": "U1xU1"}
+_SYM_TO_JSON = {"U1": "U(1)", "Z2": "Z2", "U1xU1": "U(1)xU(1)"}
+
+
+def _charge(nsym, raw):
+    """JSON charge list -> python charge (int for nsym=1, tuple else)."""
+    if nsym == 1:
+        return int(raw[0]) if isinstance(raw, (list, tuple)) else int(raw)
+    return tuple(int(x) for x in raw)
+
+
+def read_abelian_tensor(json_t) -> AbelianTensor:
+    """Parse one serialized abelian tensor (format "abelian")."""
+    assert json_t.get("format", "abelian") == "abelian"
+    nsym = int(json_t.get("nsym", 1))
+    sym = _SYM_OF[json_t["symmetry"]]
+    rank = int(json_t["rank"])
+    signature = tuple(int(s) for s in json_t["signature"])
+    n = _charge(nsym, json_t.get("n", [0] * nsym))
+    dtype = jnp.complex128 if "complex" in json_t.get("dtype", "float64") else jnp.float64
+
+    # accumulate per-leg charge -> dim maps from the blocks
+    leg_dims = [dict() for _ in range(rank)]
+    blocks = {}
+    for b in json_t["blocks"]:
+        if nsym == 1:
+            qs = tuple(int(c) for c in b["charges"])
+        else:
+            cs = [int(c) for c in b["charges"]]
+            qs = tuple(tuple(cs[i * nsym : (i + 1) * nsym]) for i in range(rank))
+        dims = tuple(int(d) for d in b["dims"])
+        for i, (q, d) in enumerate(zip(qs, dims)):
+            prev = leg_dims[i].setdefault(q, d)
+            assert prev == d, f"inconsistent dim for leg {i} charge {q}"
+        arr = np.zeros(dims, dtype=np.complex128 if dtype == jnp.complex128 else np.float64)
+        is_cplx = "complex" in b.get("dtype", json_t.get("dtype", "float64"))
+        for entry in b["entries"]:
+            tok = entry.split()
+            idx = tuple(int(x) for x in tok[:rank])
+            if is_cplx:
+                arr[idx] = float(tok[rank]) + 1j * float(tok[rank + 1])
+            else:
+                arr[idx] = float(tok[rank])
+        blocks[qs] = arr  # host (numpy) backend; .to_backend("jnp") for AD
+
+    legs = tuple(leg(ld) for ld in leg_dims)
+    return AbelianTensor(sym, signature, legs, n, blocks, dtype)
+
+
+def serialize_abelian_tensor(t: AbelianTensor) -> dict:
+    """Inverse of :func:`read_abelian_tensor` (reference format)."""
+    nsym = 2 if t.sym == "U1xU1" else 1
+    dtype_str = "complex128" if t.dtype == jnp.complex128 else "float64"
+    out = {
+        "format": "abelian",
+        "nsym": nsym,
+        "symmetry": _SYM_TO_JSON[t.sym],
+        "rank": t.ndim,
+        "signature": list(t.signature),
+        "n": list(t.n) if isinstance(t.n, tuple) else [t.n],
+        "isdiag": False,
+        "dtype": dtype_str,
+        "blocks": [],
+    }
+    for qs, b in sorted(t.blocks.items(), key=lambda kv: str(kv[0])):
+        arr = np.asarray(b)
+        if nsym == 1:
+            charges = [int(q) for q in qs]
+        else:
+            charges = [int(x) for q in qs for x in q]
+        entries = []
+        it = np.ndindex(*arr.shape)
+        for idx in it:
+            v = arr[idx]
+            pre = " ".join(str(i) for i in idx)
+            if "complex" in dtype_str:
+                entries.append(f"{pre} {float(v.real)!r} {float(v.imag)!r}")
+            else:
+                entries.append(f"{pre} {float(v)!r}")
+        out["blocks"].append(
+            {
+                "dtype": dtype_str,
+                "dims": list(arr.shape),
+                "numEntries": len(entries),
+                "entries": entries,
+                "charges": charges,
+            }
+        )
+    return out
+
+
+def read_ipeps_abelian(path, vertexToSite=None) -> IPEPS_ABELIAN:
+    """Read an abelian iPEPS state JSON (reference ipeps_abelian.py:412)."""
+    with open(path) as f:
+        raw = json.load(f)
+    coord_of = {m["siteId"]: (int(m["x"]), int(m["y"])) for m in raw["map"]}
+    sites = OrderedDict()
+    for jt in raw["sites"]:
+        sites[coord_of[jt["siteId"]]] = read_abelian_tensor(jt)
+    sym = next(iter(sites.values())).sym
+    return IPEPS_ABELIAN(
+        sym, sites, vertexToSite=vertexToSite,
+        lX=int(raw["lX"]), lY=int(raw["lY"]),
+    )
+
+
+def write_ipeps_abelian(state: IPEPS_ABELIAN, path) -> None:
+    """Write in the reference's abelian format (round-trips with
+    :func:`read_ipeps_abelian` and loads in peps-torch)."""
+    site_ids, mp, sites = [], [], []
+    for i, (coord, t) in enumerate(state.sites.items()):
+        sid = f"A{i}"
+        site_ids.append(sid)
+        mp.append({"siteId": sid, "x": coord[0], "y": coord[1]})
+        jt = serialize_abelian_tensor(t)
+        jt["siteId"] = sid
+        sites.append(jt)
+    out = {"lX": state.lX, "lY": state.lY, "sites": sites, "siteIds": site_ids, "map": mp}
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)

@@ -28,6 +28,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _lib(b):
+    """Array library of a block: numpy for the host backend, jnp for the
+    traced/differentiable backend.
+
+    The numpy backend exists because abelian CTMRG dispatches thousands
+    of tiny (O(D) x O(D)) block ops per move from a host loop; each
+    eager jnp op costs ~0.1-1 ms of dispatch + per-shape compile, which
+    is 100-1000x the arithmetic (measured: one D=3 move 12-45 s on jnp
+    vs <0.1 s on np).  The same backend split exists in the reference's
+    YASTN dependency (backend_np / backend_torch, SURVEY.md §2.15).
+    """
+    return np if isinstance(b, np.ndarray) else jnp
+
+
+def _np_dtype(dtype):
+    return np.dtype(np.asarray(jnp.zeros(0, dtype)).dtype)
+
+
 def _qadd(sym, *qs):
     if sym == "Z2":
         return sum(qs) % 2
@@ -105,21 +123,28 @@ class AbelianTensor:
 
     # ------------------------------------------------------------ create
     @classmethod
-    def zeros(cls, sym, signature, legs, n=0, dtype=jnp.float64):
+    def zeros(cls, sym, signature, legs, n=0, dtype=jnp.float64, backend="jnp"):
+        xp = np if backend == "np" else jnp
         t = cls(sym, signature, legs, n, dtype=dtype)
         for qs in t.all_allowed_blocks():
-            t.blocks[qs] = jnp.zeros(t.block_shape(qs), dtype=dtype)
+            t.blocks[qs] = xp.zeros(t.block_shape(qs), dtype=_np_dtype(dtype) if backend == "np" else dtype)
         return t
 
     @classmethod
-    def random(cls, key, sym, signature, legs, n=0, dtype=jnp.float64):
+    def random(cls, key, sym, signature, legs, n=0, dtype=jnp.float64, backend="jnp"):
         t = cls(sym, signature, legs, n, dtype=dtype)
         for qs in t.all_allowed_blocks():
             key, sub = jax.random.split(key)
-            t.blocks[qs] = jax.random.uniform(
+            b = jax.random.uniform(
                 sub, t.block_shape(qs), dtype=dtype, minval=-0.5, maxval=0.5
             )
+            t.blocks[qs] = np.asarray(b) if backend == "np" else b
         return t
+
+    def to_backend(self, backend: str):
+        """Convert all blocks to the numpy ("np") or jnp ("jnp") backend."""
+        conv = np.asarray if backend == "np" else jnp.asarray
+        return self.copy_with({q: conv(b) for q, b in self.blocks.items()})
 
     def copy_with(self, blocks):
         return AbelianTensor(self.sym, self.signature, self.legs, self.n, blocks, self.dtype)
@@ -132,7 +157,7 @@ class AbelianTensor:
             tuple(-s for s in self.signature),
             self.legs,
             _qscale(self.sym, -1, self.n),
-            {q: jnp.conj(b) for q, b in self.blocks.items()},
+            {q: _lib(b).conj(b) for q, b in self.blocks.items()},
             self.dtype,
         )
 
@@ -163,10 +188,12 @@ class AbelianTensor:
     def norm(self):
         if not self.blocks:
             return jnp.asarray(0.0)
-        return jnp.sqrt(sum(jnp.sum(jnp.abs(b) ** 2) for b in self.blocks.values()))
+        xp = _lib(next(iter(self.blocks.values())))
+        return xp.sqrt(sum(xp.sum(xp.abs(b) ** 2) for b in self.blocks.values()))
 
     def max_abs(self):
-        return max(jnp.abs(b).max() for b in self.blocks.values())
+        xp = _lib(next(iter(self.blocks.values())))
+        return max(xp.abs(b).max() for b in self.blocks.values())
 
     # --------------------------------------------------------- tensordot
     def tensordot(self, other, axes):
@@ -209,7 +236,7 @@ class AbelianTensor:
             con = tuple(qa[i] for i in ax_a)
             for qb, bb in b_by_con.get(con, []):
                 qout = tuple(qa[i] for i in keep_a) + tuple(qb[i] for i in keep_b)
-                prod = jnp.tensordot(ba, bb, (ax_a, ax_b))
+                prod = _lib(ba).tensordot(ba, bb, (ax_a, ax_b))
                 if qout in out_blocks:
                     out_blocks[qout] = out_blocks[qout] + prod
                 else:
@@ -219,6 +246,81 @@ class AbelianTensor:
         legs = tuple(self.legs[i] for i in keep_a) + tuple(other.legs[i] for i in keep_b)
         n = _qadd(self.sym, self.n, other.n)
         return AbelianTensor(self.sym, sig, legs, n, out_blocks, self.dtype)
+
+    # ------------------------------------------------------------ fusion
+    def fuse_pair(self, i: int):
+        """Fuse adjacent legs ``(i, i+1)`` into one leg.
+
+        The fused leg keeps the signature of leg ``i`` (YASTN's hard-
+        fusion convention): its sector charge ``qf`` satisfies
+        ``s_i*qf = s_i*q1 + s_{i+1}*q2``.  Within a fused sector the
+        constituent pairs are ordered by sorted ``(q1, q2)`` and laid
+        out row-major (q1 major) — two legs fused from signature pairs
+        ``(s1,s2)`` and ``(-s1,-s2)`` with the same sector content are
+        contractible with each other (same sectors, same internal order).
+
+        Used by the abelian CTM to fuse double-layer (ket, bra) pairs
+        into environment chi legs (reference fuses via yastn,
+        ctm/generic_abelian/env_abelian.py:317-470).
+        """
+        s1, s2 = self.signature[i], self.signature[i + 1]
+        sf = s1
+        l1, l2 = self.legs[i], self.legs[i + 1]
+
+        # fused sector table: qf -> ordered [(q1, q2, d1, d2, offset)]
+        pairs = sorted(
+            (q1, q2)
+            for q1 in l1.dims
+            for q2 in l2.dims
+        )
+        sec = {}
+        for q1, q2 in pairs:
+            qf = _qscale(
+                self.sym, sf,
+                _qadd(self.sym, _qscale(self.sym, s1, q1), _qscale(self.sym, s2, q2)),
+            )
+            d1, d2 = l1.dims[q1], l2.dims[q2]
+            lst = sec.setdefault(qf, [])
+            off = sum(e[2] * e[3] for e in lst)
+            lst.append((q1, q2, d1, d2, off))
+        fused_leg = leg({qf: sum(e[2] * e[3] for e in lst) for qf, lst in sec.items()})
+        offset_of = {
+            (qf, q1, q2): off for qf, lst in sec.items() for q1, q2, _, _, off in lst
+        }
+
+        out_blocks = {}
+        for qs, b in self.blocks.items():
+            q1, q2 = qs[i], qs[i + 1]
+            qf = _qscale(
+                self.sym, sf,
+                _qadd(self.sym, _qscale(self.sym, s1, q1), _qscale(self.sym, s2, q2)),
+            )
+            qout = qs[:i] + (qf,) + qs[i + 2 :]
+            sh = b.shape
+            bm = b.reshape(sh[:i] + (sh[i] * sh[i + 1],) + sh[i + 2 :])
+            full_shape = (
+                sh[:i] + (fused_leg.dims[qf],) + sh[i + 2 :]
+            )
+            off = offset_of[(qf, q1, q2)]
+            sl = (
+                (slice(None),) * i
+                + (slice(off, off + sh[i] * sh[i + 1]),)
+                + (slice(None),) * (self.ndim - i - 2)
+            )
+            dst = out_blocks.get(qout)
+            if isinstance(bm, np.ndarray):
+                if dst is None:
+                    dst = np.zeros(full_shape, dtype=bm.dtype)
+                    out_blocks[qout] = dst
+                dst[sl] += bm
+            else:
+                if dst is None:
+                    dst = jnp.zeros(full_shape, dtype=self.dtype)
+                out_blocks[qout] = dst.at[sl].add(bm)
+
+        sig = self.signature[:i] + (sf,) + self.signature[i + 2 :]
+        legs_out = self.legs[:i] + (fused_leg,) + self.legs[i + 2 :]
+        return AbelianTensor(self.sym, sig, legs_out, self.n, out_blocks, self.dtype)
 
     # ------------------------------------------------------------- dense
     def to_dense(self):
@@ -247,7 +349,8 @@ class AbelianTensor:
         return t
 
 
-def svd_blockwise(t: AbelianTensor, row_axes, col_axes, chi=None):
+def svd_blockwise(t: AbelianTensor, row_axes, col_axes, chi=None,
+                  reltol: float = 0.0, eps_multiplet: float = 0.0):
     """Truncated SVD of an AbelianTensor viewed as a matrix over
     (row_axes | col_axes), preserving charges.
 
@@ -255,6 +358,14 @@ def svd_blockwise(t: AbelianTensor, row_axes, col_axes, chi=None):
     value (the reference's abelian projector construction,
     ctm/generic_abelian/ctm_projectors.py:159-294).
 
+    :param reltol: drop singular values below ``reltol * s_max``
+        (reference ``projector_svd_reltol``).
+    :param eps_multiplet: multiplet-safe cut — if the last kept and the
+        first dropped value differ by less than ``eps_multiplet * s_max``
+        the cut would split a degenerate multiplet; walk the cut back
+        until it falls in a gap (reference ``_keep_multiplets``,
+        linalg/custom_svd.py:8, applied as drop-the-split-tail so the
+        result never exceeds ``chi``).
     :return: ``(U, S_dict, V)`` where U/V are AbelianTensors with a new
         internal leg and ``S_dict`` maps sector charge -> kept singular
         values.
@@ -291,21 +402,40 @@ def svd_blockwise(t: AbelianTensor, row_axes, col_axes, chi=None):
         for ck in col_keys:
             col_off[ck] = offc
             offc += col_dims[ck]
-        M = jnp.zeros((off, offc), dtype=tp.dtype)
-        for qs, b in items:
-            rk, ck = tuple(qs[:nrow]), tuple(qs[nrow:])
-            M = M.at[
-                row_off[rk] : row_off[rk] + row_dims[rk],
-                col_off[ck] : col_off[ck] + col_dims[ck],
-            ].set(b.reshape(row_dims[rk], col_dims[ck]))
-        U, S, Vh = jnp.linalg.svd(M, full_matrices=False)
+        host = all(isinstance(b, np.ndarray) for _, b in items)
+        if host:
+            M = np.zeros((off, offc), dtype=_np_dtype(tp.dtype))
+            for qs, b in items:
+                rk, ck = tuple(qs[:nrow]), tuple(qs[nrow:])
+                M[
+                    row_off[rk] : row_off[rk] + row_dims[rk],
+                    col_off[ck] : col_off[ck] + col_dims[ck],
+                ] = b.reshape(row_dims[rk], col_dims[ck])
+            U, S, Vh = np.linalg.svd(M, full_matrices=False)
+        else:
+            M = jnp.zeros((off, offc), dtype=tp.dtype)
+            for qs, b in items:
+                rk, ck = tuple(qs[:nrow]), tuple(qs[nrow:])
+                M = M.at[
+                    row_off[rk] : row_off[rk] + row_dims[rk],
+                    col_off[ck] : col_off[ck] + col_dims[ck],
+                ].set(b.reshape(row_dims[rk], col_dims[ck]))
+            U, S, Vh = jnp.linalg.svd(M, full_matrices=False)
         sector_data[qsec] = (row_keys, col_keys, row_dims, col_dims, row_off, col_off, U, S, Vh)
         all_svals.extend([(float(s), qsec, i) for i, s in enumerate(np.asarray(S))])
 
     # global truncation across sectors
     all_svals.sort(key=lambda x: -x[0])
-    if chi is not None:
-        all_svals = all_svals[:chi]
+    smax = all_svals[0][0] if all_svals else 0.0
+    if reltol > 0.0:
+        all_svals = [e for e in all_svals if e[0] > reltol * smax]
+    if chi is not None and len(all_svals) > chi:
+        cut = chi
+        if eps_multiplet > 0.0:
+            # never split a degenerate multiplet: retreat to a gap
+            while cut > 1 and abs(all_svals[cut - 1][0] - all_svals[cut][0]) < eps_multiplet * smax:
+                cut -= 1
+        all_svals = all_svals[:cut]
     keep = {}
     for _, qsec, i in all_svals:
         keep.setdefault(qsec, []).append(i)
@@ -317,9 +447,10 @@ def svd_blockwise(t: AbelianTensor, row_axes, col_axes, chi=None):
         row_keys, col_keys, row_dims, col_dims, row_off, col_off, U, S, Vh = sector_data[qsec]
         k = len(idxs)
         new_leg_dims_U[qsec] = k
-        S_out[qsec] = S[jnp.asarray(idxs)]
-        Usec = U[:, jnp.asarray(idxs)]
-        Vsec = Vh[jnp.asarray(idxs), :]
+        ii = np.asarray(idxs)
+        S_out[qsec] = S[ii]
+        Usec = U[:, ii]
+        Vsec = Vh[ii, :]
         for rk in row_keys:
             blk = Usec[row_off[rk] : row_off[rk] + row_dims[rk], :]
             shape = tuple(tp.legs[i].dims[rk[i]] for i in range(nrow)) + (k,)
