@@ -136,6 +136,90 @@ def test_converged_energy_matches_dense():
     assert abs(e_ab - e_d) < 1e-8
 
 
+# -------------------------------------------------------- C4v abelian
+
+
+def test_c4v_abelian_move_equals_dense_on_trivial_charges():
+    """With all charges trivial the native C4v abelian move must equal
+    the (oracle-validated) dense C4v move exactly, every iteration —
+    isolates contraction geometry from charge bookkeeping."""
+    import jax.numpy as jnp
+
+    from tpeps.ctm.c4v.ctmrg import ctm_move_sl as dense_move
+    from tpeps.ctm.c4v.env import init_env as init_dense
+    from tpeps.ctm.c4v_abelian import env as env_c4v
+    from tpeps.ctm.c4v_abelian.ctmrg import ctm_move_sl
+    from tpeps.ipeps.ipeps_c4v import symmetrize_c4v
+
+    d, D, chi = 2, 3, 9
+    rng = np.random.RandomState(0)
+    ad = np.asarray(symmetrize_c4v(jnp.asarray(rng.rand(d, D, D, D, D) - 0.5), normalize=True))
+    lp, la = leg({0: d}), leg({0: D})
+    A = AbelianTensor("U1", (1, 1, 1, 1, 1), (lp, la, la, la, la), 0,
+                      {(0, 0, 0, 0, 0): ad}, jnp.float64)
+    st = IPEPS_ABELIAN("U1", {(0, 0): A})
+    eA = env_c4v.init_env(st, chi)
+    eD = init_dense(jnp.asarray(ad), chi, "CTMRG")
+    pk = dict(svd_reltol=0.0, eps_multiplet=1e-12)
+    for i in range(6):
+        eA = ctm_move_sl(A, eA, pk)
+        eD, spec, _P = dense_move(jnp.asarray(ad), eD)
+        s1 = np.sort(np.linalg.svd(np.asarray(eA.C.to_dense()), compute_uv=False))[::-1]
+        s1 /= s1[0]
+        s2 = np.sort(np.abs(np.asarray(spec)))[::-1]
+        s2 /= s2[0]
+        n = min(len(s1), len(s2))
+        assert np.abs(s1[:n] - s2[:n]).max() < 1e-12, f"move {i+1}"
+
+
+@needs_ref
+def test_golden_c4v_u1_d4():
+    """Reference golden: C4v U(1) 1-site D=4 chi=36, j2=0.1 — energy/site
+    -0.6283009062904991 (examples/j1j2/abelian/ctmrg_j1j2_c4v_u1.py:195),
+    via the native single-corner C4v abelian engine."""
+    from tpeps.ctm.c4v_abelian import ctmrg as ctmrg_c4v
+    from tpeps.ctm.c4v_abelian import env as env_c4v
+
+    f = os.path.join(
+        REF_PATH,
+        "test-input/abelian/c4v/BFGS100LS_U1B_D4-chi97-j20.0-run0-iU1BD4j20chi97n0_blocks_1site_state.json",
+    )
+    st = read_ipeps_abelian(f)
+    model = J1J2_ABELIAN(j1=1.0, j2=0.1)
+    cfg = CtmArgs(ctm_max_iter=80, ctm_conv_tol=1e-10)
+    env, _ = ctmrg_c4v.run(st, env_c4v.init_env(st, 36), cfg)
+    st_bp, eg = env_c4v.as_generic(st, env)
+    e = float(model.energy_per_site(st_bp, eg))
+    assert abs(e - (-0.6283009062904991)) < 1e-6
+
+
+@needs_ref
+@pytest.mark.slow
+def test_c4v_u1_d8_chi160_converges():
+    """Capability proof: converge the largest committed reference state
+    (U(1) C4v D=8 chi=160, test-input/abelian/c4v/ABU1C_BFGSLS_D8-...)."""
+    import jax.numpy as jnp
+
+    from tpeps.ctm.c4v_abelian import ctmrg as ctmrg_c4v
+    from tpeps.ctm.c4v_abelian import env as env_c4v
+    from tpeps.ctm.generic_abelian.rdm import rdm2x1
+
+    f = os.path.join(
+        REF_PATH,
+        "test-input/abelian/c4v/ABU1C_BFGSLS_D8-chi160-j20.0-run0-ctme12-c4NEELch147n1_blocks_1site_state.json",
+    )
+    st = read_ipeps_abelian(f)
+    cfg = CtmArgs(ctm_max_iter=60, ctm_conv_tol=1e-8)
+    env, hist = ctmrg_c4v.run(st, env_c4v.init_env(st, 160), cfg)
+    assert hist["conv_crit"][-1] < 1e-8
+    st_bp, eg = env_c4v.as_generic(st, env)
+    model = J1J2_ABELIAN(j1=1.0, j2=0.0)
+    rho = rdm2x1((0, 0), st_bp, eg)
+    e = 2.0 * float(jnp.einsum("ijab,ijab", rho, model.SS).real)
+    # D=8 ground-state-quality energy: below the D=4 value, above exact
+    assert -0.6696 < e < -0.6645
+
+
 # ------------------------------------------------------------- goldens
 
 

@@ -125,6 +125,48 @@ def read_ipeps_abelian(path, vertexToSite=None) -> IPEPS_ABELIAN:
     )
 
 
+def read_ipeps_abelian_c4v(path):
+    """Read a 1-site C4v abelian state, normalized to the generic bond
+    convention (signature (-1,-1,-1,1,1)).
+
+    C4v states are stored with uniform signatures and q <-> -q symmetric
+    leg tables; flipping (phys, u, l) restores the generic convention
+    (reference ipeps/ipeps_abelian_c4v.py:178 does the same flip).
+    """
+    st = read_ipeps_abelian(path)
+    a = next(iter(st.sites.values()))
+    if a.signature == (1, 1, 1, 1, 1):
+        a = a.flip_charges((0, 1, 2))
+    elif a.signature == (-1, -1, -1, -1, -1):
+        a = a.flip_charges((3, 4))
+    assert a.signature == (-1, -1, -1, 1, 1), a.signature
+    return IPEPS_ABELIAN(st.sym, {(0, 0): a}, lX=1, lY=1)
+
+
+def c4v_to_bipartite(state) -> IPEPS_ABELIAN:
+    """Map a normalized 1-site C4v U(1) state to the explicit bipartite
+    Neel state [[A,B],[B,A]] (reference
+    ipeps_abelian_c4v.py:169-206 ``get_bipartite_state``).
+
+    B = phase * charge-conjugate(A): for U(1) spin-1/2 (phys charges
+    +-1 = Sz = +-1/2) charge conjugation swaps up/down and the phase op
+    (-1 on the phys charge +1 component) completes the sublattice
+    rotation i*sigma^y.  The bipartite state is evaluated with the
+    *unrotated* Hamiltonian.
+    """
+    A0 = state.site((0, 0))
+    assert A0.signature == (-1, -1, -1, 1, 1)
+    A1 = A0.charge_conjugate()
+    blocks = {
+        qs: (-b if qs[0] == 1 else b) for qs, b in A1.blocks.items()
+    }
+    A1 = A1.copy_with(blocks)
+    return IPEPS_ABELIAN(
+        state.sym, {(0, 0): A0, (1, 0): A1},
+        vertexToSite=lambda x: ((x[0] + x[1]) % 2, 0), lX=2, lY=2,
+    )
+
+
 def write_ipeps_abelian(state: IPEPS_ABELIAN, path) -> None:
     """Write in the reference's abelian format (round-trips with
     :func:`read_ipeps_abelian` and loads in peps-torch)."""

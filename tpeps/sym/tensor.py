@@ -161,6 +161,50 @@ class AbelianTensor:
             self.dtype,
         )
 
+    def conj_blocks(self):
+        """Conjugate block values only (no signature/charge change) —
+        yastn's ``conj_blocks``; ``conj() == flip_signature().conj_blocks()``."""
+        return self.copy_with({q: _lib(b).conj(b) for q, b in self.blocks.items()})
+
+    def flip_charges(self, axes):
+        """Flip the signature of the listed legs AND negate their block
+        charges (yastn's ``switch_signature``; total charge unchanged:
+        the charge-rule terms ``s_i q_i = (-s_i)(-q_i)`` are invariant).
+
+        An isomorphism whenever the affected leg tables are symmetric
+        under ``q -> -q`` — used to normalize C4v abelian states stored
+        with uniform signatures to the generic bond convention
+        (reference ipeps/ipeps_abelian_c4v.py:178)."""
+        axes = tuple(axes)
+
+        def fq(i, q):
+            return _qscale(self.sym, -1, q) if i in axes else q
+
+        sig = tuple(-s if i in axes else s for i, s in enumerate(self.signature))
+        legs = tuple(
+            leg({_qscale(self.sym, -1, q): d for q, d in l.charges}) if i in axes else l
+            for i, l in enumerate(self.legs)
+        )
+        blocks = {
+            tuple(fq(i, q) for i, q in enumerate(qs)): b for qs, b in self.blocks.items()
+        }
+        return AbelianTensor(self.sym, sig, legs, self.n, blocks, self.dtype)
+
+    def charge_conjugate(self):
+        """Negate all block charges and the total charge, keeping
+        signatures (yastn's ``flip_signature().switch_signature('all')``,
+        reference ipeps_abelian_c4v.py:199 — the Neel partner map)."""
+        legs = tuple(
+            leg({_qscale(self.sym, -1, q): d for q, d in l.charges}) for l in self.legs
+        )
+        blocks = {
+            tuple(_qscale(self.sym, -1, q) for q in qs): b
+            for qs, b in self.blocks.items()
+        }
+        return AbelianTensor(
+            self.sym, self.signature, legs, _qscale(self.sym, -1, self.n), blocks, self.dtype
+        )
+
     def transpose(self, axes):
         return AbelianTensor(
             self.sym,
@@ -349,6 +393,154 @@ class AbelianTensor:
         return t
 
 
+def _sector_matrices(t: AbelianTensor, row_axes, col_axes):
+    """Assemble dense per-charge-sector matrices of a tensor viewed over
+    (row_axes | col_axes).  Shared by the blockwise SVD/eigh."""
+    row_axes, col_axes = tuple(row_axes), tuple(col_axes)
+    tp = t.transpose(row_axes + col_axes)
+    nrow = len(row_axes)
+
+    sectors = {}
+    for qs, b in tp.blocks.items():
+        qrow = tuple(qs[:nrow])
+        qsec = _qadd(
+            t.sym, *(_qscale(t.sym, s, q) for s, q in zip(tp.signature[:nrow], qrow))
+        ) if nrow > 1 else _qscale(t.sym, tp.signature[0], qs[0])
+        sectors.setdefault(qsec, []).append((qs, b))
+
+    out = {}
+    for qsec, items in sectors.items():
+        row_keys = sorted(set(tuple(qs[:nrow]) for qs, _ in items))
+        col_keys = sorted(set(tuple(qs[nrow:]) for qs, _ in items))
+        row_dims = {rk: int(np.prod([tp.legs[i].dims[rk[i]] for i in range(nrow)])) for rk in row_keys}
+        col_dims = {ck: int(np.prod([tp.legs[nrow + i].dims[ck[i]] for i in range(len(ck))])) for ck in col_keys}
+        row_off, off = {}, 0
+        for rk in row_keys:
+            row_off[rk] = off
+            off += row_dims[rk]
+        col_off, offc = {}, 0
+        for ck in col_keys:
+            col_off[ck] = offc
+            offc += col_dims[ck]
+        host = all(isinstance(b, np.ndarray) for _, b in items)
+        if host:
+            M = np.zeros((off, offc), dtype=_np_dtype(tp.dtype))
+            for qs, b in items:
+                rk, ck = tuple(qs[:nrow]), tuple(qs[nrow:])
+                M[
+                    row_off[rk] : row_off[rk] + row_dims[rk],
+                    col_off[ck] : col_off[ck] + col_dims[ck],
+                ] = b.reshape(row_dims[rk], col_dims[ck])
+        else:
+            M = jnp.zeros((off, offc), dtype=tp.dtype)
+            for qs, b in items:
+                rk, ck = tuple(qs[:nrow]), tuple(qs[nrow:])
+                M = M.at[
+                    row_off[rk] : row_off[rk] + row_dims[rk],
+                    col_off[ck] : col_off[ck] + col_dims[ck],
+                ].set(b.reshape(row_dims[rk], col_dims[ck]))
+        out[qsec] = (row_keys, col_keys, row_dims, col_dims, row_off, col_off, M)
+    return tp, nrow, out
+
+
+def _global_cut(all_vals, chi, reltol, eps_multiplet):
+    """Global cross-sector truncation by magnitude with reltol filter and
+    multiplet-safe boundary retreat.  ``all_vals``: [(|v|, qsec, i)]."""
+    all_vals.sort(key=lambda x: -x[0])
+    vmax = all_vals[0][0] if all_vals else 0.0
+    if reltol > 0.0:
+        all_vals = [e for e in all_vals if e[0] > reltol * vmax]
+    if chi is not None and len(all_vals) > chi:
+        cut = chi
+        if eps_multiplet > 0.0:
+            while cut > 1 and abs(all_vals[cut - 1][0] - all_vals[cut][0]) < eps_multiplet * vmax:
+                cut -= 1
+        all_vals = all_vals[:cut]
+    keep = {}
+    for _, qsec, i in all_vals:
+        keep.setdefault(qsec, []).append(i)
+    return keep
+
+
+def eigh_blockwise(t: AbelianTensor, row_axes, col_axes, chi=None,
+                   reltol: float = 0.0, eps_multiplet: float = 0.0):
+    """Truncated spectral decomposition of a *hermitian* AbelianTensor
+    viewed over (row_axes | col_axes), kept by |eigenvalue| with a global
+    cross-sector cut (the C4v corner decomposition).
+
+    Charge conservation pairs row sector ``q`` with column sector
+    ``-q``; hermiticity then makes the (q, -q) block the adjoint of the
+    (-q, q) block, so the decomposition needs one eigh for the
+    self-paired sector and ONE svd per +-q pair (the partner sector's
+    isometry is the right-singular basis of the same block, and both
+    sectors keep identical counts — exactly the +- degeneracy structure
+    of a C4v corner).  ~2-4x cheaper than blockwise SVD of every sector.
+
+    :return: ``(U, W_dict)`` — isometry with a new last leg and kept
+        value magnitudes (signed for the self-paired sector).
+    """
+    tp, nrow, sector_mats = _sector_matrices(t, row_axes, col_axes)
+
+    all_vals = []
+    sector_data = {}
+    done = set()
+    for qsec in sector_mats:
+        if qsec in done:
+            continue
+        row_keys, _ck, row_dims, _cd, row_off, _co, M = sector_mats[qsec]
+        xp = np if isinstance(M, np.ndarray) else jnp
+        qneg = _qscale(t.sym, -1, qsec)
+        if qneg == qsec:
+            assert M.shape[0] == M.shape[1]
+            H = 0.5 * (M + M.conj().T)
+            W, U = xp.linalg.eigh(H)
+            order = np.argsort(-np.abs(np.asarray(W)))
+            W, U = W[np.asarray(order)], U[:, np.asarray(order)]
+            sector_data[qsec] = (row_keys, row_dims, row_off, W, U)
+            all_vals.extend(
+                [(abs(float(w)), qsec, i) for i, w in enumerate(np.asarray(W))]
+            )
+            done.add(qsec)
+        else:
+            U, S, Vh = xp.linalg.svd(M, full_matrices=False)
+            sector_data[qsec] = (row_keys, row_dims, row_off, S, U)
+            all_vals.extend([(float(x), qsec, i) for i, x in enumerate(np.asarray(S))])
+            done.add(qsec)
+            if qneg in sector_mats:
+                # hermitian partner: B_{-q} = B_q^dagger, left vectors = V
+                rk2, _c2, rd2, _cd2, ro2, _co2, M2 = sector_mats[qneg]
+                V = Vh.conj().T
+                sector_data[qneg] = (rk2, rd2, ro2, S, V)
+                all_vals.extend(
+                    [(float(x), qneg, i) for i, x in enumerate(np.asarray(S))]
+                )
+                done.add(qneg)
+
+    keep = _global_cut(all_vals, chi, reltol, eps_multiplet)
+
+    U_blocks, W_out = {}, {}
+    new_leg_dims = {}
+    for qsec, idxs in keep.items():
+        row_keys, row_dims, row_off, W, U = sector_data[qsec]
+        idxs = sorted(idxs)
+        ii = np.asarray(idxs)
+        k = len(idxs)
+        new_leg_dims[qsec] = k
+        W_out[qsec] = W[ii]
+        Usec = U[:, ii]
+        for rk in row_keys:
+            blk = Usec[row_off[rk] : row_off[rk] + row_dims[rk], :]
+            shape = tuple(tp.legs[i].dims[rk[i]] for i in range(nrow)) + (k,)
+            U_blocks[rk + (qsec,)] = blk.reshape(shape)
+
+    new_leg = leg(new_leg_dims)
+    U_t = AbelianTensor(
+        t.sym, tp.signature[:nrow] + (-1,), tp.legs[:nrow] + (new_leg,), 0,
+        U_blocks, t.dtype,
+    )
+    return U_t, W_out
+
+
 def svd_blockwise(t: AbelianTensor, row_axes, col_axes, chi=None,
                   reltol: float = 0.0, eps_multiplet: float = 0.0):
     """Truncated SVD of an AbelianTensor viewed as a matrix over
@@ -370,75 +562,17 @@ def svd_blockwise(t: AbelianTensor, row_axes, col_axes, chi=None,
         internal leg and ``S_dict`` maps sector charge -> kept singular
         values.
     """
-    row_axes, col_axes = tuple(row_axes), tuple(col_axes)
-    perm = row_axes + col_axes
-    tp = t.transpose(perm)
-    nrow = len(row_axes)
-
-    # group blocks into charge sectors of the fused row charge
-    sectors = {}
-    for qs, b in tp.blocks.items():
-        qrow = tuple(qs[:nrow])
-        qsec = _qadd(
-            t.sym, *(_qscale(t.sym, s, q) for s, q in zip(tp.signature[:nrow], qrow))
-        ) if nrow > 1 else _qscale(t.sym, tp.signature[0], qs[0])
-        sectors.setdefault(qsec, []).append((qs, b))
+    tp, nrow, sector_mats = _sector_matrices(t, row_axes, col_axes)
 
     all_svals = []
     sector_data = {}
-    for qsec, items in sectors.items():
-        # assemble the sector matrix from its blocks
-        row_keys = sorted(set(tuple(qs[:nrow]) for qs, _ in items))
-        col_keys = sorted(set(tuple(qs[nrow:]) for qs, _ in items))
-        row_dims = {rk: int(np.prod([tp.legs[i].dims[rk[i]] for i in range(nrow)])) for rk in row_keys}
-        col_dims = {ck: int(np.prod([tp.legs[nrow + i].dims[ck[i]] for i in range(len(ck))])) for ck in col_keys}
-        row_off = {}
-        off = 0
-        for rk in row_keys:
-            row_off[rk] = off
-            off += row_dims[rk]
-        col_off = {}
-        offc = 0
-        for ck in col_keys:
-            col_off[ck] = offc
-            offc += col_dims[ck]
-        host = all(isinstance(b, np.ndarray) for _, b in items)
-        if host:
-            M = np.zeros((off, offc), dtype=_np_dtype(tp.dtype))
-            for qs, b in items:
-                rk, ck = tuple(qs[:nrow]), tuple(qs[nrow:])
-                M[
-                    row_off[rk] : row_off[rk] + row_dims[rk],
-                    col_off[ck] : col_off[ck] + col_dims[ck],
-                ] = b.reshape(row_dims[rk], col_dims[ck])
-            U, S, Vh = np.linalg.svd(M, full_matrices=False)
-        else:
-            M = jnp.zeros((off, offc), dtype=tp.dtype)
-            for qs, b in items:
-                rk, ck = tuple(qs[:nrow]), tuple(qs[nrow:])
-                M = M.at[
-                    row_off[rk] : row_off[rk] + row_dims[rk],
-                    col_off[ck] : col_off[ck] + col_dims[ck],
-                ].set(b.reshape(row_dims[rk], col_dims[ck]))
-            U, S, Vh = jnp.linalg.svd(M, full_matrices=False)
+    for qsec, (row_keys, col_keys, row_dims, col_dims, row_off, col_off, M) in sector_mats.items():
+        xp = np if isinstance(M, np.ndarray) else jnp
+        U, S, Vh = xp.linalg.svd(M, full_matrices=False)
         sector_data[qsec] = (row_keys, col_keys, row_dims, col_dims, row_off, col_off, U, S, Vh)
         all_svals.extend([(float(s), qsec, i) for i, s in enumerate(np.asarray(S))])
 
-    # global truncation across sectors
-    all_svals.sort(key=lambda x: -x[0])
-    smax = all_svals[0][0] if all_svals else 0.0
-    if reltol > 0.0:
-        all_svals = [e for e in all_svals if e[0] > reltol * smax]
-    if chi is not None and len(all_svals) > chi:
-        cut = chi
-        if eps_multiplet > 0.0:
-            # never split a degenerate multiplet: retreat to a gap
-            while cut > 1 and abs(all_svals[cut - 1][0] - all_svals[cut][0]) < eps_multiplet * smax:
-                cut -= 1
-        all_svals = all_svals[:cut]
-    keep = {}
-    for _, qsec, i in all_svals:
-        keep.setdefault(qsec, []).append(i)
+    keep = _global_cut(all_svals, chi, reltol, eps_multiplet)
 
     U_blocks, V_blocks, S_out = {}, {}, {}
     new_leg_dims_U = {}
