@@ -1,0 +1,55 @@
+"""Energy parity of the POWER/TPU-layout CTMRG path vs the SYMEIG path.
+
+VERDICT r1 weak-point 5: golden-parity tests ran SYMEIG at small D while
+the headline bench runs the TPU-layout move with warm-started subspace
+projectors (tpeps/ctm/c4v/move_tpu.py) — nothing proved the two paths
+agree at convergence.  This test converges both on the same random C4v
+state and requires the J1-J2 energies to agree to 1e-8 (the BASELINE.md
+parity metric).
+
+Scale: modest by default (default D=4: ~2 min on this 1-core CPU box; one dense
+D=7 chi=147 CPU move costs ~200 s, so the full D=7 parity is only
+feasible on the TPU — run it there with TPEPS_PARITY_D=7).
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpeps.ctm.c4v.ctmrg import run_fixed_point
+from tpeps.ctm.c4v.env import init_env
+from tpeps.ctm.c4v.move_tpu import run_ctmrg_tpu
+from tpeps.ipeps.ipeps_c4v import symmetrize_c4v
+from tpeps.models.j1j2 import J1J2_C4V_BIPARTITE
+
+D = int(os.environ.get("TPEPS_PARITY_D", "4"))
+CHI = {4: 48, 5: 75, 6: 108, 7: 147}[D]
+
+
+@pytest.mark.slow
+def test_power_tpu_path_energy_parity_with_symeig():
+    rng = np.random.RandomState(0)
+    a = symmetrize_c4v(jnp.asarray(rng.rand(2, D, D, D, D) - 0.5), normalize=True)
+    model = J1J2_C4V_BIPARTITE(j1=1.0, j2=0.3)
+
+    env0 = init_env(a, CHI, "CTMRG")
+    # SYMEIG path: dense symmetric eig projector, on-device while_loop
+    env_se, n_se, dist_se, _ = run_fixed_point(
+        a, env0, max_iter=200, conv_tol=1e-10, projector_method="SYMEIG"
+    )
+    # random states can plateau in the gauge-fixed elementwise distance;
+    # the energy converges much earlier than the env distance
+    assert float(dist_se) < 1e-6
+
+    # POWER/TPU-layout path: warm-started subspace iteration, factored
+    # corner, host-driven loop (the benchmark code path)
+    env_pw, n_pw, dist_pw = run_ctmrg_tpu(
+        a, env0, max_iter=200, conv_tol=1e-10, slice_phys=(D >= 7)
+    )
+    assert dist_pw < 1e-6
+
+    e_se = float(model.energy_1x1_lowmem(a, env_se))
+    e_pw = float(model.energy_1x1_lowmem(a, env_pw))
+    assert abs(e_se - e_pw) < 1e-8, (e_se, e_pw)

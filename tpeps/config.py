@@ -147,6 +147,7 @@ class OptArgs:
     tolerance_change: float = 1e-9
     opt_ctm_reinit: bool = True
     env_sens_scale: float = 10.0
+    env_sens_regauge: bool = False  # regauge on EnvError (reference config.py:488)
     line_search: str = "default"  # "default"(strong_wolfe) | "backtracking"
     line_search_ctm_reinit: bool = True
     line_search_svd_method: str = "DEFAULT"

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.flatten_util import ravel_pytree
 
+from ..errors import EnvError, NoFixedPointError
 from .lbfgs import LBFGS
 
 log = logging.getLogger(__name__)
@@ -65,6 +66,9 @@ def optimize_state(
     checkpoint_file=None,
     best_state_writer=None,
     opt_resume=None,
+    regauge_fn=None,
+    status_ctx=None,
+    max_recoveries: int = 3,
 ):
     """Epoch loop of L-BFGS optimization.
 
@@ -83,6 +87,16 @@ def optimize_state(
     :param best_state_writer: callable ``(params, loss)`` invoked when the
         loss improves (e.g. writes the ``_state.json``)
     :param opt_resume: checkpoint path to resume from
+    :param regauge_fn: optional ``params -> params`` applied on
+        :class:`tpeps.errors.EnvError` before rebuilding the optimizer
+        (reference ``opt_args.env_sens_regauge``,
+        ad_optim_lbfgs_mod.py:318-327)
+    :param status_ctx: optional dict the caller's closures may mutate;
+        ``status_ctx["STATUS"] == "ENV_ANTIVAR"`` terminates with an
+        error ("over-optimized environment",
+        reference ad_optim_lbfgs_mod.py:349-352)
+    :param max_recoveries: give up after this many *consecutive*
+        noise-restart/regauge recoveries
     :return: ``(best_params, history)``
     """
     opt_args = cfg.opt
@@ -128,20 +142,23 @@ def optimize_state(
 
     line_search = {"default": "strong_wolfe", "strong_wolfe": "strong_wolfe",
                    "backtracking": "backtracking", "none": None}[opt_args.line_search]
-    if getattr(opt_args, "opt_type", "LBFGS").upper() == "SGD":
-        from .sgd import SGD
 
-        # SGD supports only the derivative-free backtracking line search
-        # (reference sgd_modified.py:210-230)
-        sgd_ls = "backtracking" if line_search == "backtracking" else None
-        opt = SGD(
-            lr=opt_args.lr,
-            momentum=opt_args.momentum,
-            line_search_fn=sgd_ls,
-            max_iter=opt_args.max_iter_per_epoch,
-        )
-    else:
-        opt = LBFGS(
+    def make_optimizer():
+        """Fresh optimizer (also used to clear L-BFGS history on
+        recovery, reference ad_optim_lbfgs_mod.py:311-316)."""
+        if getattr(opt_args, "opt_type", "LBFGS").upper() == "SGD":
+            from .sgd import SGD
+
+            # SGD supports only the derivative-free backtracking line
+            # search (reference sgd_modified.py:210-230)
+            sgd_ls = "backtracking" if line_search == "backtracking" else None
+            return SGD(
+                lr=opt_args.lr,
+                momentum=opt_args.momentum,
+                line_search_fn=sgd_ls,
+                max_iter=opt_args.max_iter_per_epoch,
+            )
+        return LBFGS(
             n_params=x0.size,
             lr=opt_args.lr,
             max_iter=opt_args.max_iter_per_epoch,
@@ -150,6 +167,8 @@ def optimize_state(
             tolerance_change=opt_args.tolerance_change,
             line_search_fn=line_search,
         )
+
+    opt = make_optimizer()
 
     epoch0 = 0
     if opt_resume:
@@ -162,8 +181,10 @@ def optimize_state(
 
     x = x0
     best_loss = np.inf
-    history = {"loss": [], "grad_norm": [], "t_grad": [], "alpha": []}
+    history = {"loss": [], "grad_norm": [], "t_grad": [], "alpha": [], "recoveries": []}
     prev_loss = None
+    n_consec_recoveries = 0
+    noise_rng = np.random.RandomState(cfg.main.seed + 7919)
 
     for epoch in range(epoch0, cfg.main.opt_max_iter):
         if checkpoint_file:
@@ -175,8 +196,46 @@ def optimize_state(
         if loss_ctx_fn is not None:
             current_ctx[0] = loss_ctx_fn(to_params(x))
         t0 = time.perf_counter()
-        x, loss, grad, info = opt.step_2c(x, closure, closure_ls)
+        try:
+            x, loss, grad, info = opt.step_2c(x, closure, closure_ls)
+        except NoFixedPointError as e:
+            # recovery: perturb the state with noise, rebuild the
+            # optimizer (clears L-BFGS history) and retry
+            # (reference ad_optim_lbfgs_mod.py:306-317)
+            n_consec_recoveries += 1
+            if n_consec_recoveries > max_recoveries:
+                raise
+            log.info(f"{e.message} — adding noise 0.1 and restarting optimizer "
+                     f"(recovery {n_consec_recoveries}/{max_recoveries})")
+            scale = 0.1 * max(float(np.abs(x).max()), 1e-30)
+            x = x + scale * (noise_rng.rand(x.size) - 0.5)
+            opt = make_optimizer()
+            history["recoveries"].append({"epoch": epoch, "kind": "noise"})
+            prev_loss = None
+            continue
+        except EnvError as e:
+            n_consec_recoveries += 1
+            if n_consec_recoveries > max_recoveries:
+                raise
+            log.info(f"{e.message} — "
+                     + ("regauging and " if regauge_fn else "")
+                     + "restarting optimizer")
+            if regauge_fn is not None:
+                pr = split_complex(regauge_fn(to_params(x)))
+                x = np.asarray(ravel_pytree(pr)[0], dtype=np.float64)
+            opt = make_optimizer()
+            history["recoveries"].append({"epoch": epoch, "kind": "regauge"})
+            prev_loss = None
+            continue
+        n_consec_recoveries = 0
         t_epoch = time.perf_counter() - t0
+
+        if status_ctx is not None and status_ctx.get("STATUS") == "ENV_ANTIVAR":
+            raise RuntimeError(
+                "Over-optimized environment (ENV_ANTIVAR): the loss is more "
+                "sensitive to the environment approximation than to the state "
+                "(reference ad_optim_lbfgs_mod.py:349-352)"
+            )
 
         history["loss"].append(loss)
         history["grad_norm"].append(float(np.linalg.norm(grad)))
