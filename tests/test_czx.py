@@ -17,22 +17,12 @@ from tpeps.config import CtmArgs
 from tpeps.ctm.generic.ctmrg import run
 from tpeps.ctm.generic.env import init_env
 from tpeps.ipeps.ipeps import IPEPS
-from tpeps.models.czx import CZX, get_h_czx_mpo
+from tpeps.models.czx import CZX, czx_ground_state, get_h_czx_mpo
 
 
 def czx_exact_state():
-    """A[(s0 s1 s2 s3), u=(uL uR), l=(lU lD), d=(dL dR), r=(rU rD)] from
-    copy tensors delta[s, a, b]; spin layout 0,1 / 3,2 clockwise."""
-    delta = np.zeros((2, 2, 2))
-    delta[0, 0, 0] = delta[1, 1, 1] = 1.0
-    # s0 top-left corner: copies (u-left, l-up); s1 top-right: (u-right,
-    # r-up); s2 bottom-right: (d-right, r-down); s3 bottom-left: (d-left, l-down)
-    # delta1[s0, uL, lU], delta2[s1, uR, rU], delta3[s2, dR, rD],
-    # delta4[s3, dL, lD] -> [s0 s1 s2 s3, uL uR, lU lD, dL dR, rU rD]
-    A = np.einsum("aup,bvq,cwr,dxs->abcduvpsxwqr",
-                  delta, delta, delta, delta)
-    A = A.reshape(16, 4, 4, 4, 4)
-    return jnp.asarray(A / np.abs(A).max())
+    """Spin layout 0,1 / 3,2 clockwise (now provided by the model)."""
+    return czx_ground_state()
 
 
 @pytest.fixture(scope="module")

@@ -131,6 +131,20 @@ def get_H_zxz(dtype=jnp.float64):
     return tuple(jnp.asarray(m, dtype=dtype) for m in (Za, Xa, Zb, Xb))
 
 
+def czx_ground_state():
+    """Exact CZX ground-state PEPS: a 4-spin GHZ on every plaquette via
+    copy tensors delta[s,a,b]; A[(s0 s1 s2 s3), u=(uL uR), l=(lU lD),
+    d=(dL dR), r=(rU rD)] (reference examples/czx/optim_czx.py A_czx)."""
+    import numpy as np
+
+    delta = np.zeros((2, 2, 2))
+    delta[0, 0, 0] = delta[1, 1, 1] = 1.0
+    A = np.einsum("aup,bvq,cwr,dxs->abcduvpsxwqr",
+                  delta, delta, delta, delta)
+    A = A.reshape(16, 4, 4, 4, 4)
+    return jnp.asarray(A / np.abs(A).max())
+
+
 class CZX:
     """(reference czx.py:218)."""
 
