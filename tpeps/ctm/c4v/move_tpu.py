@@ -264,6 +264,7 @@ def run_ctmrg_tpu(
     conv_tol: float = 1.0e-8,
     n_power: int = 2,
     slice_phys: bool = False,
+    timers=None,
     **move_kwargs,
 ):
     """Host-driven CTMRG loop over the jitted TPU-layout move.
@@ -274,8 +275,17 @@ def run_ctmrg_tpu(
     convergence check pulls the chi-vector corner spectrum to the host
     each iteration — negligible traffic.
 
+    :param timers: optional :class:`tpeps.profiling.PhaseTimers`
+        accumulating per-phase wall-clock ("move", "conv_check")
     :return: ``(env, n_iter, dist)``
     """
+    import contextlib
+
+    _null = contextlib.nullcontext()
+
+    def phase(name, sync=None):
+        return timers.phase(name, sync=sync) if timers is not None else _null
+
     D = a.shape[1]
     chi = env.C.shape[0]
     T_int = to_tpu_layout(env.T, D)
@@ -286,10 +296,13 @@ def run_ctmrg_tpu(
     it = 0
     bad_streak = 0
     for it in range(1, max_iter + 1):
-        nC, nT, spec, nP = _jit_move(
-            a, C, T_int, P, n_power=n_power, slice_phys=slice_phys, **move_kwargs
-        )
-        spec_h = np.abs(np.asarray(spec))
+        with phase("move"):
+            nC, nT, spec, nP = _jit_move(
+                a, C, T_int, P, n_power=n_power, slice_phys=slice_phys, **move_kwargs
+            )
+            spec.block_until_ready()
+        with phase("conv_check"):
+            spec_h = np.abs(np.asarray(spec))
         # TPU f64 is software-emulated; the warm-started CholeskyQR/eigh
         # projector very occasionally degenerates there (observed at D=7:
         # a spurious zero eigenvalue one move, NaN the next) while the
