@@ -1,0 +1,75 @@
+"""Looped/sliced contraction == direct contraction (the reference's
+tests/test_rdms_loop.py strategy, SURVEY.md §4): index-unrolled RDMs and
+phys-sliced corners must equal the direct versions exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpeps.config import CtmArgs
+from tpeps.ctm.generic import rdm_patch
+from tpeps.ctm.generic.components import corner_ld, corner_lu, corner_rd, corner_ru
+from tpeps.ctm.generic.ctmrg import run
+from tpeps.ctm.generic.env import init_env
+from tpeps.ipeps.ipeps import IPEPS
+
+
+@pytest.fixture(scope="module")
+def converged(d=3, D=2, chi=8):
+    rng = np.random.RandomState(0)
+    A = jnp.asarray(rng.rand(d, D, D, D, D) - 0.5)
+    st = IPEPS({(0, 0): A / jnp.linalg.norm(A)}, lX=1, lY=1)
+    env = init_env(st, chi, "CTMRG")
+    env, _ = run(st, env, CtmArgs(ctm_max_iter=30, ctm_conv_tol=1e-8))
+    return st, env
+
+
+def test_sliced_corners_equal_direct(converged):
+    st, env = converged
+    args = ((0, 0), st.sites, st.vertexToSite, env.C, env.T)
+    for fn in (corner_lu, corner_ru, corner_rd, corner_ld):
+        for open_phys in (False, True):
+            direct = fn(*args, open_phys=open_phys)
+            sliced = fn(*args, open_phys=open_phys, slice_phys=True)
+            assert float(jnp.abs(direct - sliced).max()) < 1e-13, (fn.__name__, open_phys)
+
+
+def test_rdm2x3_loop_equals_direct(converged):
+    st, env = converged
+    args = ((0, 0), st.sites, st.vertexToSite, env.C, env.T)
+    direct = rdm_patch.rdm2x3_open1234(*args)
+    looped = rdm_patch.rdm2x3_open1234_loop(*args)
+    assert float(jnp.abs(direct - looped).max()) < 1e-13
+
+
+def test_rdm3x2_loop_equals_direct(converged):
+    st, env = converged
+    args = ((0, 0), st.sites, st.vertexToSite, env.C, env.T)
+    direct = rdm_patch.rdm3x2_open1234(*args)
+    looped = rdm_patch.rdm3x2_open1234_loop(*args)
+    assert float(jnp.abs(direct - looped).max()) < 1e-13
+
+
+def test_rdm2x2_open_sliced(converged):
+    st, env = converged
+    args = ((0, 0), st.sites, st.vertexToSite, env.C, env.T)
+    direct = rdm_patch.rdm2x2_open(*args, open_sites=(0, 3))
+    sliced = rdm_patch.rdm2x2_open(*args, open_sites=(0, 3), slice_phys=True)
+    assert float(jnp.abs(direct - sliced).max()) < 1e-13
+
+
+@pytest.mark.slow
+def test_large_d_corner_runs():
+    """Capability: a d=64 (maple-leaf-sized) corner that would
+    materialize a chi^2 D^4 d intermediate runs in sliced mode."""
+    d, D, chi = 64, 2, 16
+    rng = np.random.RandomState(1)
+    A = jnp.asarray(rng.rand(d, D, D, D, D) - 0.5)
+    A = A / jnp.linalg.norm(A)
+    st = IPEPS({(0, 0): A}, lX=1, lY=1)
+    env = init_env(st, chi, "CTMRG")
+    c = corner_lu((0, 0), st.sites, st.vertexToSite, env.C, env.T,
+                  open_phys=True, slice_phys=True)
+    assert np.isfinite(np.asarray(c)).all()

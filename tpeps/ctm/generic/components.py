@@ -17,6 +17,7 @@ with ket (non-conjugated layer) major.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 
 def _split2(T, axis, D):
@@ -26,14 +27,50 @@ def _split2(T, axis, D):
     return T.reshape(sh)
 
 
-def c2x2_lu(C, Tt, Tl, a, open_phys: bool = False):
+def _sum_over_phys(f, a):
+    """``sum_s f(a[s])`` via ``lax.scan`` — bounds the peak corner
+    intermediate by 1/d (the reference's index-unrolled loops,
+    oe_ext/oe_ext.py:513 ``contract_with_unroll``; here the physical
+    index is the only one coupling ket and bra layers).  Required for
+    large-d coarse-grained models (maple-leaf d=2^6)."""
+    import jax
+
+    shape = jax.eval_shape(f, a[0])
+
+    def step(acc, a_s):
+        return acc + f(a_s), None
+
+    acc, _ = lax.scan(step, jnp.zeros(shape.shape, shape.dtype), a)
+    return acc
+
+
+def c2x2_lu(C, Tt, Tl, a, open_phys: bool = False, slice_phys: bool = False):
     """Upper-left corner from C(-1,-1), T(0,-1), T(-1,0), site
-    (reference ctm_components.py:372-433 ``c2x2_LU_sl_c``)."""
+    (reference ctm_components.py:372-433 ``c2x2_LU_sl_c``).
+
+    ``slice_phys``: contract the ket/bra layers one physical component
+    at a time (``lax.scan``/``lax.map``), dividing the peak intermediate
+    by d — the large-d (maple-leaf) memory mode."""
     d = a.shape[0]
     Tt4 = _split2(Tt, 1, a.shape[1])  # [y(left), u, v, i(right)]
     Tl4 = _split2(Tl, 2, a.shape[2])  # [x(up), j(down), l, k]
     q = jnp.einsum("xy,yuvi->xuvi", C, Tt4)
     q = jnp.einsum("xuvi,xjlk->uvijlk", q, Tl4)
+    if slice_phys:
+        if open_phys:
+            def term(a_s):  # ket slice; bra z stays open
+                t = jnp.einsum("uvijlk,uler->vijker", q, a_s)
+                return jnp.einsum("vijker,zvkfg->jefirgz", t, jnp.conj(a))
+            out = lax.map(term, a)  # [s, j,e,f,i,r,g,z]
+            out = jnp.moveaxis(out, 0, 6)  # [j,e,f,i,r,g,s,z]
+            return out.reshape(
+                out.shape[0] * a.shape[3] ** 2, out.shape[3] * a.shape[4] ** 2, d, d
+            )
+        def term(a_s):
+            t = jnp.einsum("uvijlk,uler->vijker", q, a_s)
+            return jnp.einsum("vijker,vkfg->jefirg", t, jnp.conj(a_s))
+        out = _sum_over_phys(term, a)
+        return out.reshape(out.shape[0] * a.shape[3] ** 2, out.shape[3] * a.shape[4] ** 2)
     q = jnp.einsum("uvijlk,suler->vijkser", q, a)
     if open_phys:
         out = jnp.einsum("vijkser,zvkfg->jefirgsz", q, jnp.conj(a))
@@ -44,7 +81,7 @@ def c2x2_lu(C, Tt, Tl, a, open_phys: bool = False):
     return out.reshape(out.shape[0] * a.shape[3] ** 2, out.shape[3] * a.shape[4] ** 2)
 
 
-def c2x2_ru(C, Tr, Tt, a, open_phys: bool = False):
+def c2x2_ru(C, Tr, Tt, a, open_phys: bool = False, slice_phys: bool = False):
     """Upper-right corner from C(1,-1), T(1,0), T(0,-1), site
     (reference ctm_components.py:530-590 ``c2x2_RU_sl_c``)."""
     d = a.shape[0]
@@ -52,6 +89,21 @@ def c2x2_ru(C, Tr, Tt, a, open_phys: bool = False):
     Tt4 = _split2(Tt, 1, a.shape[1])  # [l(left), m, n, x(right)]
     q = jnp.einsum("xy,ywvb->xwvb", C, Tr4)
     q = jnp.einsum("xwvb,lmnx->wvblmn", q, Tt4)
+    if slice_phys:
+        if open_phys:
+            def term(a_s):
+                t = jnp.einsum("wvblmn,megw->vblneg", q, a_s)
+                return jnp.einsum("vblneg,znfhv->lefbghz", t, jnp.conj(a))
+            out = lax.map(term, a)
+            out = jnp.moveaxis(out, 0, 6)
+            return out.reshape(
+                out.shape[0] * a.shape[2] ** 2, out.shape[3] * a.shape[3] ** 2, d, d
+            )
+        def term(a_s):
+            t = jnp.einsum("wvblmn,megw->vblneg", q, a_s)
+            return jnp.einsum("vblneg,nfhv->lefbgh", t, jnp.conj(a_s))
+        out = _sum_over_phys(term, a)
+        return out.reshape(out.shape[0] * a.shape[2] ** 2, out.shape[3] * a.shape[3] ** 2)
     # ket layer: a[s, u=m, l=e, d=g, r=w]
     q = jnp.einsum("wvblmn,smegw->vblnseg", q, a)
     if open_phys:
@@ -63,7 +115,7 @@ def c2x2_ru(C, Tr, Tt, a, open_phys: bool = False):
     return out.reshape(out.shape[0] * a.shape[2] ** 2, out.shape[3] * a.shape[3] ** 2)
 
 
-def c2x2_rd(C, Tb, Tr, a, open_phys: bool = False):
+def c2x2_rd(C, Tb, Tr, a, open_phys: bool = False, slice_phys: bool = False):
     """Lower-right corner from C(1,1), T(0,1), T(1,0), site
     (reference ctm_components.py:666-722 ``c2x2_RD_sl_c``)."""
     d = a.shape[0]
@@ -71,6 +123,21 @@ def c2x2_rd(C, Tb, Tr, a, open_phys: bool = False):
     Tr4 = _split2(Tr, 1, a.shape[4])  # [t(up), w, v, x(down)]
     q = jnp.einsum("xy,mnly->xmnl", C, Tb4)
     q = jnp.einsum("xmnl,twvx->mnltwv", q, Tr4)
+    if slice_phys:
+        if open_phys:
+            def term(a_s):
+                t = jnp.einsum("mnltwv,egmw->nltveg", q, a_s)
+                return jnp.einsum("nltveg,zfhnv->teflghz", t, jnp.conj(a))
+            out = lax.map(term, a)
+            out = jnp.moveaxis(out, 0, 6)
+            return out.reshape(
+                out.shape[0] * a.shape[1] ** 2, out.shape[3] * a.shape[2] ** 2, d, d
+            )
+        def term(a_s):
+            t = jnp.einsum("mnltwv,egmw->nltveg", q, a_s)
+            return jnp.einsum("nltveg,fhnv->teflgh", t, jnp.conj(a_s))
+        out = _sum_over_phys(term, a)
+        return out.reshape(out.shape[0] * a.shape[1] ** 2, out.shape[3] * a.shape[2] ** 2)
     # ket layer: a[s, u=e, l=g, d=m, r=w]
     q = jnp.einsum("mnltwv,segmw->nltvseg", q, a)
     if open_phys:
@@ -82,7 +149,7 @@ def c2x2_rd(C, Tb, Tr, a, open_phys: bool = False):
     return out.reshape(out.shape[0] * a.shape[1] ** 2, out.shape[3] * a.shape[2] ** 2)
 
 
-def c2x2_ld(C, Tl, Tb, a, open_phys: bool = False):
+def c2x2_ld(C, Tl, Tb, a, open_phys: bool = False, slice_phys: bool = False):
     """Lower-left corner from C(-1,1), T(-1,0), T(0,1), site
     (reference ctm_components.py:822-884 ``c2x2_LD_sl_c``)."""
     d = a.shape[0]
@@ -90,6 +157,21 @@ def c2x2_ld(C, Tl, Tb, a, open_phys: bool = False):
     Tb4 = _split2(Tb, 0, a.shape[3])  # [m, n, y(left), r(right)]
     q = jnp.einsum("xy,txwv->ytwv", C, Tl4)
     q = jnp.einsum("ytwv,mnyr->twvmnr", q, Tb4)
+    if slice_phys:
+        if open_phys:
+            def term(a_s):
+                t = jnp.einsum("twvmnr,ewmg->tvnreg", q, a_s)
+                return jnp.einsum("tvnreg,zfvnh->tefrghz", t, jnp.conj(a))
+            out = lax.map(term, a)
+            out = jnp.moveaxis(out, 0, 6)
+            return out.reshape(
+                out.shape[0] * a.shape[1] ** 2, out.shape[3] * a.shape[4] ** 2, d, d
+            )
+        def term(a_s):
+            t = jnp.einsum("twvmnr,ewmg->tvnreg", q, a_s)
+            return jnp.einsum("tvnreg,fvnh->tefrgh", t, jnp.conj(a_s))
+        out = _sum_over_phys(term, a)
+        return out.reshape(out.shape[0] * a.shape[1] ** 2, out.shape[3] * a.shape[4] ** 2)
     # ket layer: a[s, u=e, l=w, d=m, r=g]
     q = jnp.einsum("twvmnr,sewmg->tvnrseg", q, a)
     if open_phys:
@@ -106,24 +188,28 @@ def c2x2_ld(C, Tl, Tb, a, open_phys: bool = False):
 # --------------------------------------------------------------------------
 
 
-def corner_lu(coord, sites, site_of, C, T, open_phys=False):
+def corner_lu(coord, sites, site_of, C, T, open_phys=False, slice_phys=False):
     c = site_of(coord)
-    return c2x2_lu(C[(c, (-1, -1))], T[(c, (0, -1))], T[(c, (-1, 0))], sites[c], open_phys)
+    return c2x2_lu(C[(c, (-1, -1))], T[(c, (0, -1))], T[(c, (-1, 0))], sites[c],
+                   open_phys, slice_phys)
 
 
-def corner_ru(coord, sites, site_of, C, T, open_phys=False):
+def corner_ru(coord, sites, site_of, C, T, open_phys=False, slice_phys=False):
     c = site_of(coord)
-    return c2x2_ru(C[(c, (1, -1))], T[(c, (1, 0))], T[(c, (0, -1))], sites[c], open_phys)
+    return c2x2_ru(C[(c, (1, -1))], T[(c, (1, 0))], T[(c, (0, -1))], sites[c],
+                   open_phys, slice_phys)
 
 
-def corner_rd(coord, sites, site_of, C, T, open_phys=False):
+def corner_rd(coord, sites, site_of, C, T, open_phys=False, slice_phys=False):
     c = site_of(coord)
-    return c2x2_rd(C[(c, (1, 1))], T[(c, (0, 1))], T[(c, (1, 0))], sites[c], open_phys)
+    return c2x2_rd(C[(c, (1, 1))], T[(c, (0, 1))], T[(c, (1, 0))], sites[c],
+                   open_phys, slice_phys)
 
 
-def corner_ld(coord, sites, site_of, C, T, open_phys=False):
+def corner_ld(coord, sites, site_of, C, T, open_phys=False, slice_phys=False):
     c = site_of(coord)
-    return c2x2_ld(C[(c, (-1, 1))], T[(c, (-1, 0))], T[(c, (0, 1))], sites[c], open_phys)
+    return c2x2_ld(C[(c, (-1, 1))], T[(c, (-1, 0))], T[(c, (0, 1))], sites[c],
+                   open_phys, slice_phys)
 
 
 # --------------------------------------------------------------------------

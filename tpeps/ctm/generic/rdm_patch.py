@@ -28,7 +28,7 @@ _CORNER_COORD = ((0, 0), (1, 0), (0, 1), (1, 1))
 
 
 def rdm2x2_open(coord, sites, site_of, C, T, open_sites=(0, 1, 2, 3),
-                sym_pos_def: bool = False):
+                sym_pos_def: bool = False, slice_phys: bool = False):
     """2x2 patch RDM with an arbitrary subset of open positions
     (reference rdm.py ``rdm2x2`` with ``open_sites``); positions
     0=upper-left, 1=upper-right, 2=lower-left, 3=lower-right.
@@ -41,7 +41,8 @@ def rdm2x2_open(coord, sites, site_of, C, T, open_sites=(0, 1, 2, 3),
     q3 = []
     for pos, (fn, (dx, dy)) in enumerate(zip(_CORNER_FNS, _CORNER_COORD)):
         is_open = pos in open_sites
-        c = fn((coord[0] + dx, coord[1] + dy), sites, site_of, C, T, open_phys=is_open)
+        c = fn((coord[0] + dx, coord[1] + dy), sites, site_of, C, T,
+               open_phys=is_open, slice_phys=slice_phys)
         if is_open:
             c = c.reshape(c.shape[0], c.shape[1], -1)  # fuse (s, s')
         else:
@@ -103,6 +104,63 @@ def rdm2x3_open1234(coord, sites, site_of, C, T, sym_pos_def: bool = False):
 
     rho = jnp.einsum("xXqyrYRpgwGW,qrRpwWzZ->yzxgYZXG", E, rh)
     return _sym_pos_def_rdm(rho, sym_pos_def=sym_pos_def)
+
+
+def rdm2x3_open1234_loop(coord, sites, site_of, C, T, sym_pos_def: bool = False,
+                         slice_phys: bool = True):
+    """Index-unrolled :func:`rdm2x3_open1234`: the contraction is sliced
+    over the top-mid ket physical index (``lax.map``), dividing the
+    peak intermediate by d, with phys-sliced open corners — the
+    counterpart of reference ctm/generic/rdm_looped.py:159
+    ``rdm2x3_loop_oe`` (oe_ext ``contract_with_unroll``).  Exactly equal
+    to the direct contraction (tests/test_rdm_loop.py)."""
+    import jax
+    from jax import lax
+
+    x, y = coord
+    c10 = site_of((x + 1, y))
+    c11 = site_of((x + 1, y + 1))
+    chi = C[(site_of(coord), (-1, -1))].shape[0]
+    a10, a11 = sites[c10], sites[c11]
+    D = a10.shape[1]
+
+    lu = corner_lu(coord, sites, site_of, C, T)
+    ldo = corner_ld((x, y + 1), sites, site_of, C, T, open_phys=True,
+                    slice_phys=slice_phys)
+    lh = jnp.einsum("dr,dqxX->rqxX", lu, ldo)
+    lh = lh.reshape(chi, D, D, chi, D, D, *lh.shape[2:])  # t,k,K,b,m,M,x3,X3
+
+    Tt = T[(c10, (0, -1))].reshape(chi, D, D, chi)  # [t, u, U, q]
+    Tb = T[(c11, (0, 1))].reshape(D, D, chi, chi)  # [f, F, b, p]
+
+    E0 = jnp.einsum("tkKbmMxX,tuUq->kKbmMxXuUq", lh, Tt)
+
+    ruo = corner_ru((x + 2, y), sites, site_of, C, T, open_phys=True,
+                    slice_phys=slice_phys)
+    rd = corner_rd((x + 2, y + 1), sites, site_of, C, T)
+    rh = jnp.einsum("ldzZ,dq->lqzZ", ruo, rd)
+    rh = rh.reshape(chi, D, D, chi, D, D, *rh.shape[2:])  # q,r,R,p,w,W,x2,X2
+
+    def one_slice(a10_y):
+        # a10_y = a10[y] with legs (u, l=k, d=e, r)
+        E = jnp.einsum("kKbmMxXuUq,uker->KbmMxXUqer", E0, a10_y)
+        E = jnp.einsum("KbmMxXUqer,YUKER->bmMxXqerYER", E, jnp.conj(a10))
+        E = jnp.einsum("bmMxXqerYER,fFbp->mMxXqerYERfFp", E, Tb)
+        E = jnp.einsum("mMxXqerYERfFp,gemfw->MxXqrYERFpgw", E, a11)
+        E = jnp.einsum("MxXqrYERFpgw,GEMFW->xXqrYRpgwGW", E, jnp.conj(a11))
+        return jnp.einsum("xXqrYRpgwGW,qrRpwWzZ->zxgYZXG", E, rh)
+
+    rho = lax.map(one_slice, a10)  # [y, z,x,g,Y,Z,X,G]
+    return _sym_pos_def_rdm(rho, sym_pos_def=sym_pos_def)
+
+
+def rdm3x2_open1234_loop(coord, sites, site_of, C, T, sym_pos_def: bool = False,
+                         slice_phys: bool = True):
+    """Index-unrolled :func:`rdm3x2_open1234` via the diagonal
+    reflection (reference rdm_looped.py:1029 ``rdm3x2_loop_oe``)."""
+    t_sites, t_site_of, tC, tT = transpose_lattice(sites, site_of, C, T)
+    return rdm2x3_open1234_loop((coord[1], coord[0]), t_sites, t_site_of, tC, tT,
+                                sym_pos_def=sym_pos_def, slice_phys=slice_phys)
 
 
 def transpose_lattice(sites, site_of, C, T):
