@@ -203,6 +203,39 @@ def ctm_move_sl(
 
     M = c2x2_sl(a, C, T)
     M = 0.5 * (M + M.conj().T)
+    if projector_method == "QR":
+        # QR-CTM projector (reference ctm_MOVE_QR_sl, ctmrg_c4v.py:465,
+        # arXiv:2505.00494 pattern): the isometry is the Q factor of the
+        # *half*-enlarged corner C.T reshaped (chi D^2, chi) — no
+        # eigen/singular decomposition at all, a single tall QR.  The
+        # corner C' = P^H M P is no longer diagonal; the spectrum for
+        # convergence checks comes from a cheap chi x chi eigh.
+        C1x2 = jnp.tensordot(C, T, ((1,), (1,)))      # (x, w, D^2)
+        C1x2 = C1x2.transpose(0, 2, 1).reshape(chi * D * D, chi)
+        P, _R = jnp.linalg.qr(C1x2)
+        if gauge_fix:
+            if P_ref is None:
+                P = fix_eigvec_phase(P)
+            else:
+                P, _W = procrustes_align(P, P_ref)
+        nC = P.conj().T @ (M @ P)
+        nC = 0.5 * (nC + nC.conj().T)
+        Dspec = jnp.linalg.eigvalsh(nC)
+        order = jnp.argsort(-jnp.abs(Dspec))
+        Dspec = Dspec[order]
+        scale_C = jnp.abs(Dspec[0])
+        if sg_norm:
+            scale_C = lax.stop_gradient(scale_C)
+        spec = Dspec / scale_C
+        nC = nC / scale_C
+        nT = _absorb_T(a, T, P.reshape(chi, D, D, chi))  # symmetrizes internally
+        if absorb_normalization == "inf":
+            scale_T = jnp.abs(nT).max()
+        else:
+            scale_T = jnp.linalg.norm(nT.ravel())
+        if sg_norm:
+            scale_T = lax.stop_gradient(scale_T)
+        return EnvC4v(nC, nT / scale_T), spec, P
     if projector_method == "POWER":
         # warm-started subspace iteration: MXU matmuls + (chi x chi)
         # Rayleigh-Ritz only — the TPU-native projector (XLA's dense
@@ -429,11 +462,13 @@ def _cfg_projector(ctm_cfg):
 
     ``projector_svd_method`` follows the reference's SVD-method selector
     (config.py:246-415) reduced to the TPU-sensible zoo: DEFAULT/SYMEIG
-    (dense symmetric eig) or POWER (warm-started subspace iteration)."""
+    (dense symmetric eig), POWER (warm-started subspace iteration) or
+    QR (decomposition-free half-corner isometry, reference
+    ctm_MOVE_QR_sl)."""
     method = ctm_cfg.projector_svd_method
     if method in ("DEFAULT", "SYMEIG"):
         method = "SYMEIG"
-    elif method != "POWER":
+    elif method not in ("POWER", "QR"):
         raise ValueError(f"Unsupported projector_svd_method {method}")
     return method, getattr(ctm_cfg, "n_power", 2)
 

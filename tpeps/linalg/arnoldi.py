@@ -67,6 +67,26 @@ def arnoldi_eigs(matvec, v0, k: int, m: int | None = None):
     return w[order][:k]
 
 
+def arnoldi_eigs_vecs(matvec, v0, k: int, m: int | None = None):
+    """Leading eigenpairs: like :func:`arnoldi_eigs` but also returns the
+    Ritz vectors (columns), needed by the fixed-point corner method's
+    dominant-eigenvector solves (reference fpcm_c4v.py fp_C/fp_T/fp_TT
+    use scipy ``truncated_eig_arnoldi``).
+
+    :return: ``(w[k], X[n, k])`` complex, sorted by descending |w|
+    """
+    m = m or max(2 * k + 10, 30)
+    m = min(m, v0.shape[0])
+    V, H = _arnoldi_factorization(jax.jit(matvec), v0, m)
+    Hm = np.asarray(H[:m, :m])
+    w, Y = np.linalg.eig(Hm)
+    order = np.argsort(-np.abs(w))
+    w, Y = w[order][:k], Y[:, order][:, :k]
+    X = np.asarray(V[:m]).T @ Y  # Ritz vectors
+    X /= np.linalg.norm(X, axis=0, keepdims=True)
+    return w, X
+
+
 def lanczos_eigsh(matvec, v0, k: int, m: int | None = None):
     """Leading eigenvalues of a hermitian map via the same factorization
     (replacement for scipy ``eigsh``; reference linalg/eig_arnoldi.py:10)."""
