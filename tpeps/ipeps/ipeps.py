@@ -206,6 +206,35 @@ def write_ipeps(state, outputfile, aux_seq=(0, 1, 2, 3), tol=1.0e-14, normalize=
         json.dump(json_state, f, indent=4, separators=(",", ": "))
 
 
+class IPEPO(IPEPS):
+    """Infinite projected entangled-pair *operator*
+    (counterpart of reference ipeps/ipeps.py:764 ``IPEPO``): on-site
+    tensors carry an ancilla index in addition to the physical one,
+    ``a[anc, s, u, l, d, r]`` — purifications (finite temperature) and
+    operator-valued layers.
+
+    ``to_ipeps()`` fuses (anc, s) into a single d^2 physical leg so the
+    whole CTMRG/RDM machinery applies to the purified state.
+    """
+
+    def site_rank(self):
+        return 6
+
+    def to_ipeps(self) -> "IPEPS":
+        sites = {}
+        for c, t in self.sites.items():
+            sh = t.shape
+            sites[c] = t.reshape(sh[0] * sh[1], *sh[2:])
+        return IPEPS(sites, vertexToSite=self.vertexToSite, lX=self.lX, lY=self.lY)
+
+    @classmethod
+    def from_operator_product(cls, op, state: IPEPS) -> "IPEPO":
+        """Apply a 1-site operator layer ``op[s', s]`` to an IPEPS and
+        promote the original physical index to the ancilla slot."""
+        sites = {c: jnp.einsum("ps,suldr->psuldr", op, t) for c, t in state.sites.items()}
+        return cls(sites, vertexToSite=state.vertexToSite, lX=state.lX, lY=state.lY)
+
+
 class IPEPS_WEIGHTED(IPEPS):
     """iPEPS augmented with diagonal positive bond weights — the ansatz
     structure for simple-update iTEBD (reference ipeps/ipeps.py:543-762).
