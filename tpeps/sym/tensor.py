@@ -62,6 +62,27 @@ def _qscale(sym, s, q):
     return s * q
 
 
+def _parity(sym, q) -> int:
+    """Fermionic parity of a charge: occupation number mod 2 (YASTN's
+    rule for sym_U1/sym_Z2/sym_U1xU1 with ``fermionic=True``)."""
+    if sym == "U1xU1":
+        return (q[0] + q[1]) % 2
+    return q % 2
+
+
+def _perm_sign(parities, axes) -> float:
+    """Grassmann sign of reordering a monomial ``theta_0..theta_{r-1}``
+    (parities[i] in {0,1}) into the order given by ``axes``: (-1) per
+    inversion among odd symbols."""
+    odd = [a for a in axes if parities[a]]
+    inv = 0
+    for i in range(len(odd)):
+        for j in range(i + 1, len(odd)):
+            if odd[i] > odd[j]:
+                inv += 1
+    return -1.0 if inv % 2 else 1.0
+
+
 @dataclass(frozen=True)
 class LegCharges:
     """Charge sectors of one leg: mapping charge -> dimension."""
@@ -91,9 +112,26 @@ def leg(charge_dims) -> LegCharges:
 
 
 class AbelianTensor:
-    """Block-sparse tensor with abelian charge conservation."""
+    """Block-sparse tensor with abelian charge conservation.
 
-    def __init__(self, sym: str, signature, legs, n=0, blocks=None, dtype=jnp.float64):
+    With ``fermionic=True`` the tensor is Grassmann-graded: each block
+    is the coefficient of an ordered monomial
+    ``theta_0^{p(q_0)} ... theta_{r-1}^{p(q_{r-1})}`` (parity p = charge
+    mod 2), signature +1 legs carry ``theta`` (ket), -1 legs
+    ``theta-bar`` (dual).  ``transpose`` / ``tensordot`` / ``conj`` then
+    insert the Grassmann reordering signs automatically, so **every
+    network contraction written for the bosonic abelian stack computes
+    the correct fermionic value unchanged** — no explicit swap-gate
+    placement anywhere (the reference reaches fermions through YASTN's
+    hand-placed ``swap_gate`` calls instead,
+    ctm/generic_abelian/corrf_fermionic.py:29-227).  The network value
+    is the Grassmann integral of the product of all tensors and is
+    independent of pairwise-contraction order (validated against the
+    brute-force integral in tests/test_fermionic.py).
+    """
+
+    def __init__(self, sym: str, signature, legs, n=0, blocks=None, dtype=jnp.float64,
+                 fermionic: bool = False):
         self.sym = sym
         if sym == "U1xU1" and isinstance(n, int):
             assert n == 0
@@ -102,7 +140,11 @@ class AbelianTensor:
         self.legs = tuple(legs)
         self.n = n
         self.dtype = dtype
+        self.fermionic = fermionic
         self.blocks = dict(blocks) if blocks else {}
+
+    def _parities(self, qs):
+        return tuple(_parity(self.sym, q) for q in qs)
 
     # -------------------------------------------------------------- meta
     @property
@@ -123,16 +165,18 @@ class AbelianTensor:
 
     # ------------------------------------------------------------ create
     @classmethod
-    def zeros(cls, sym, signature, legs, n=0, dtype=jnp.float64, backend="jnp"):
+    def zeros(cls, sym, signature, legs, n=0, dtype=jnp.float64, backend="jnp",
+              fermionic=False):
         xp = np if backend == "np" else jnp
-        t = cls(sym, signature, legs, n, dtype=dtype)
+        t = cls(sym, signature, legs, n, dtype=dtype, fermionic=fermionic)
         for qs in t.all_allowed_blocks():
             t.blocks[qs] = xp.zeros(t.block_shape(qs), dtype=_np_dtype(dtype) if backend == "np" else dtype)
         return t
 
     @classmethod
-    def random(cls, key, sym, signature, legs, n=0, dtype=jnp.float64, backend="jnp"):
-        t = cls(sym, signature, legs, n, dtype=dtype)
+    def random(cls, key, sym, signature, legs, n=0, dtype=jnp.float64, backend="jnp",
+               fermionic=False):
+        t = cls(sym, signature, legs, n, dtype=dtype, fermionic=fermionic)
         for qs in t.all_allowed_blocks():
             key, sub = jax.random.split(key)
             b = jax.random.uniform(
@@ -147,18 +191,33 @@ class AbelianTensor:
         return self.copy_with({q: conv(b) for q, b in self.blocks.items()})
 
     def copy_with(self, blocks):
-        return AbelianTensor(self.sym, self.signature, self.legs, self.n, blocks, self.dtype)
+        return AbelianTensor(self.sym, self.signature, self.legs, self.n, blocks,
+                             self.dtype, self.fermionic)
 
     # --------------------------------------------------------------- ops
     def conj(self):
-        """Complex conjugate; flips all signatures and the total charge."""
+        """Complex conjugate; flips all signatures and the total charge.
+
+        Fermionic: the dagger of an ordered Grassmann monomial reverses
+        it, ``(theta_1..theta_k)^+ = theta-bar_k..theta-bar_1``; keeping
+        the stored leg order therefore costs the reversal sign
+        ``(-1)^{k(k-1)/2}`` per block (k = number of odd legs)."""
+        blocks = {}
+        for q, b in self.blocks.items():
+            bc = _lib(b).conj(b)
+            if self.fermionic:
+                k = sum(self._parities(q))
+                if (k * (k - 1) // 2) % 2:
+                    bc = -bc
+            blocks[q] = bc
         return AbelianTensor(
             self.sym,
             tuple(-s for s in self.signature),
             self.legs,
             _qscale(self.sym, -1, self.n),
-            {q: _lib(b).conj(b) for q, b in self.blocks.items()},
+            blocks,
             self.dtype,
+            self.fermionic,
         )
 
     def conj_blocks(self):
@@ -188,7 +247,7 @@ class AbelianTensor:
         blocks = {
             tuple(fq(i, q) for i, q in enumerate(qs)): b for qs, b in self.blocks.items()
         }
-        return AbelianTensor(self.sym, sig, legs, self.n, blocks, self.dtype)
+        return AbelianTensor(self.sym, sig, legs, self.n, blocks, self.dtype, self.fermionic)
 
     def charge_conjugate(self):
         """Negate all block charges and the total charge, keeping
@@ -202,17 +261,30 @@ class AbelianTensor:
             for qs, b in self.blocks.items()
         }
         return AbelianTensor(
-            self.sym, self.signature, legs, _qscale(self.sym, -1, self.n), blocks, self.dtype
+            self.sym, self.signature, legs, _qscale(self.sym, -1, self.n), blocks,
+            self.dtype, self.fermionic
         )
 
     def transpose(self, axes):
+        """Leg permutation; fermionic tensors pick up the Grassmann
+        reordering sign per block."""
+        axes = tuple(axes)
+        blocks = {}
+        for q, b in self.blocks.items():
+            bt = b.transpose(axes)
+            if self.fermionic:
+                sgn = _perm_sign(self._parities(q), axes)
+                if sgn < 0:
+                    bt = -bt
+            blocks[tuple(q[a] for a in axes)] = bt
         return AbelianTensor(
             self.sym,
             tuple(self.signature[a] for a in axes),
             tuple(self.legs[a] for a in axes),
             self.n,
-            {tuple(q[a] for a in axes): b.transpose(axes) for q, b in self.blocks.items()},
+            blocks,
             self.dtype,
+            self.fermionic,
         )
 
     def __add__(self, other):
@@ -269,6 +341,22 @@ class AbelianTensor:
         keep_a = [i for i in range(self.ndim) if i not in ax_a]
         keep_b = [i for i in range(other.ndim) if i not in ax_b]
 
+        fermionic = self.fermionic or other.fermionic
+        if fermionic:
+            # Grassmann contraction = graded-permute a's contracted legs
+            # to the end (in ax_a order), b's to the front reversed, then
+            # annihilate the now-adjacent (theta, theta-bar) pairs
+            # innermost-first.  A pair annihilates sign-free when the
+            # theta (sig +1) precedes its theta-bar; when a's side is the
+            # dual the pair sits as (theta-bar, theta) and costs
+            # (-1)^{p(q)}.  All three signs depend only on block charges.
+            perm_a = tuple(keep_a) + ax_a
+            perm_b = tuple(reversed(ax_b)) + tuple(keep_b)
+            dual_a = tuple(
+                i for i, j in zip(ax_a, ax_b)
+                if (self.signature[i] if self.sym != "Z2" else -other.signature[j]) == -1
+            )
+
         out_blocks = {}
         # group blocks of `other` by their contracted-leg charges
         b_by_con = {}
@@ -278,9 +366,22 @@ class AbelianTensor:
 
         for qa, ba in self.blocks.items():
             con = tuple(qa[i] for i in ax_a)
-            for qb, bb in b_by_con.get(con, []):
+            matches = b_by_con.get(con, [])
+            if not matches:
+                continue
+            if fermionic:
+                pa = self._parities(qa)
+                sgn_a = _perm_sign(pa, perm_a)
+                if any(pa[i] for i in dual_a):
+                    k = sum(pa[i] for i in dual_a)
+                    sgn_a *= -1.0 if k % 2 else 1.0
+            for qb, bb in matches:
                 qout = tuple(qa[i] for i in keep_a) + tuple(qb[i] for i in keep_b)
                 prod = _lib(ba).tensordot(ba, bb, (ax_a, ax_b))
+                if fermionic:
+                    sgn = sgn_a * _perm_sign(other._parities(qb), perm_b)
+                    if sgn < 0:
+                        prod = -prod
                 if qout in out_blocks:
                     out_blocks[qout] = out_blocks[qout] + prod
                 else:
@@ -289,7 +390,7 @@ class AbelianTensor:
         sig = tuple(self.signature[i] for i in keep_a) + tuple(other.signature[i] for i in keep_b)
         legs = tuple(self.legs[i] for i in keep_a) + tuple(other.legs[i] for i in keep_b)
         n = _qadd(self.sym, self.n, other.n)
-        return AbelianTensor(self.sym, sig, legs, n, out_blocks, self.dtype)
+        return AbelianTensor(self.sym, sig, legs, n, out_blocks, self.dtype, fermionic)
 
     # ------------------------------------------------------------ fusion
     def fuse_pair(self, i: int):
@@ -364,7 +465,54 @@ class AbelianTensor:
 
         sig = self.signature[:i] + (sf,) + self.signature[i + 2 :]
         legs_out = self.legs[:i] + (fused_leg,) + self.legs[i + 2 :]
-        return AbelianTensor(self.sym, sig, legs_out, self.n, out_blocks, self.dtype)
+        return AbelianTensor(self.sym, sig, legs_out, self.n, out_blocks, self.dtype,
+                             self.fermionic)
+
+    # ---------------------------------------------------------- aux legs
+    def add_leg(self, axis: int = -1, s: int = -1, q=None):
+        """Insert a dim-1 leg carrying charge ``q`` at ``axis`` such that
+        the total charge becomes group-neutral (yastn's ``add_leg``).
+
+        Used to make odd fermionic operators (c, c+) parity-even by
+        attaching an explicit string leg; contracting the string legs of
+        an operator pair reproduces the ordered product with the correct
+        anticommutation signs through the graded tensordot.
+        """
+        if axis < 0:
+            axis = self.ndim + 1 + axis
+        if q is None:
+            # leg absorbs the total charge: n_new = n + s*q = 0  =>  q = -s*n
+            q = _qscale(self.sym, -s, self.n)
+        n_new = _qadd(self.sym, self.n, _qscale(self.sym, s, q))
+        blocks = {}
+        for qs, b in self.blocks.items():
+            sh = b.shape
+            blocks[qs[:axis] + (q,) + qs[axis:]] = b.reshape(sh[:axis] + (1,) + sh[axis:])
+        sig = self.signature[:axis] + (s,) + self.signature[axis:]
+        legs = self.legs[:axis] + (leg({q: 1}),) + self.legs[axis:]
+        # Grassmann note: inserting a dim-1 leg at `axis` places its
+        # theta at that position in every block monomial with NO sign —
+        # callers account for ordering via subsequent graded transposes.
+        return AbelianTensor(self.sym, sig, legs, n_new, blocks, self.dtype, self.fermionic)
+
+    def trace_scalar(self):
+        """Full graded trace of a rank-2k tensor paired as
+        (0,k),(1,k+1),...: contract with itself via an identity — here
+        simply tensordot with a charge-matched identity chain is
+        overkill; for the common rank-2 case return sum_q tr(B_q) with
+        the graded cap sign."""
+        assert self.ndim == 2
+        tot = None
+        for (q0, q1), b in self.blocks.items():
+            xp = _lib(b)
+            v = xp.trace(b)
+            if self.fermionic and _parity(self.sym, q0):
+                # monomial theta theta-bar (sig (+1,-1)): cap sign-free;
+                # (theta-bar, theta) order costs (-1)^p
+                if self.signature[0] == -1:
+                    v = -v
+            tot = v if tot is None else tot + v
+        return tot
 
     # ------------------------------------------------------------- dense
     def to_dense(self):
@@ -536,7 +684,7 @@ def eigh_blockwise(t: AbelianTensor, row_axes, col_axes, chi=None,
     new_leg = leg(new_leg_dims)
     U_t = AbelianTensor(
         t.sym, tp.signature[:nrow] + (-1,), tp.legs[:nrow] + (new_leg,), 0,
-        U_blocks, t.dtype,
+        U_blocks, t.dtype, t.fermionic,
     )
     return U_t, W_out
 
@@ -594,14 +742,23 @@ def svd_blockwise(t: AbelianTensor, row_axes, col_axes, chi=None,
             shape = (k,) + tuple(tp.legs[nrow + i].dims[ck[i]] for i in range(len(ck)))
             V_blocks[(qsec,) + ck] = blk.reshape(shape)
 
+    if t.fermionic:
+        # graded reconstruction tensordot(U*S, V, ((-1,), (0,))) sees U's
+        # internal leg on the dual (-1) side and costs (-1)^{p(qsec)};
+        # absorb the compensating sign into V so U.S.V == T under the
+        # graded contraction (validated in tests/test_fermionic.py).
+        V_blocks = {
+            q: (-b if _parity(t.sym, q[0]) else b) for q, b in V_blocks.items()
+        }
+
     new_leg = leg(new_leg_dims_U)
     # U carries the original row legs + new leg with signature -1 carrying qsec
     U_t = AbelianTensor(
         t.sym, tp.signature[:nrow] + (-1,), tp.legs[:nrow] + (new_leg,), 0,
-        U_blocks, t.dtype,
+        U_blocks, t.dtype, t.fermionic,
     )
     V_t = AbelianTensor(
         t.sym, (1,) + tp.signature[nrow:], (new_leg,) + tp.legs[nrow:], t.n,
-        V_blocks, t.dtype,
+        V_blocks, t.dtype, t.fermionic,
     )
     return U_t, S_out, V_t
