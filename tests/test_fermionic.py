@@ -69,7 +69,7 @@ def grassmann_oracle(tensors, bonds):
         for ti, t in enumerate(tensors):
             for li in range(t.ndim):
                 bi = legpos[(ti, li)]
-                symbols.append((bi, _parity(sym, assign[bi]), t.signature[li] == 1))
+                symbols.append((bi, t.leg_parity(li, assign[bi]), t.signature[li] == 1))
         sign = 1.0
         for bi in range(len(bonds)):
             idx = [k for k, s in enumerate(symbols) if s[0] == bi]
@@ -295,6 +295,54 @@ def test_ordered_pair_two_site_hopping():
             ]
             got = grassmann_oracle([psi_t, O, psic], bonds) / nrm
             assert got == pytest.approx(exact, rel=1e-10, abs=1e-12), (k1, k2)
+
+
+def test_three_site_chain_nonadjacent_hopping():
+    """<c+_i c_j> on a 3-site chain INCLUDING the non-adjacent pair
+    (1,3): the graded contraction must reproduce the Jordan-Wigner
+    string through the middle site with no explicit string routing."""
+    rng = np.random.default_rng(7)
+    sf = SpinfulFermionsU1(shift=-1)
+    P = sf.phys
+    # MPS-like chain:  M1[s1, a]  M2[a*, s2, b]  M3[b*, s3]
+    M1 = _rand_even(rng, "U1", (1, -1), (P, L))
+    M2 = _rand_even(rng, "U1", (1, 1, -1), (L, P, L))
+    M3 = _rand_even(rng, "U1", (1, 1), (L, P))
+    # amplitudes psi[s1, s2, s3] via graded contraction (leg order kept)
+    psi = M1.tensordot(M2, ((1,), (0,)))          # (s1, s2, b)
+    psi = psi.tensordot(M3, ((2,), (0,)))         # (s1, s2, s3)
+    amps = np.asarray(psi.to_dense())
+    vec = amps.reshape(-1)
+    nrm = vec.conj() @ vec
+
+    # exact 6-mode Fock ops, modes ordered (u1,d1,u2,d2,u3,d3)
+    c_u, c_d = _fock_ops()
+    P4 = np.diag([1.0, -1, -1, 1])
+    I4 = np.eye(4)
+    site_ops = {"cu": c_u, "cd": c_d}
+
+    def op_at(k, site):  # JW-dressed annihilation of mode k at site (0,1,2)
+        mats = [P4] * site + [site_ops[k]] + [I4] * (2 - site)
+        out = mats[0]
+        for mm in mats[1:]:
+            out = np.kron(out, mm)
+        return out
+
+    graded = {"cu": sf.c("u"), "cd": sf.c("d")}
+    for (i, j) in ((0, 1), (0, 2), (1, 2)):
+        for k1, k2 in (("cu", "cd"), ("cd", "cu"), ("cu", "cu")):
+            exact = (vec.conj() @ op_at(k1, i).conj().T @ op_at(k2, j) @ vec) / nrm
+            O = ordered_pair(graded[k1].conj().transpose((1, 0)), graded[k2])
+            psic = psi.conj()
+            # bonds: psi.si - O.in1 ; psi.sj - O.in2 ; O.out1 - psic.si ;
+            # O.out2 - psic.sj ; spectator phys legs traced psi-psic
+            spect = [s for s in range(3) if s not in (i, j)]
+            bonds = [
+                ((0, i), (1, 1)), ((0, j), (1, 3)),
+                ((1, 0), (2, i)), ((1, 2), (2, j)),
+            ] + [((0, s), (2, s)) for s in spect]
+            got = grassmann_oracle([psi, O, psic], bonds) / nrm
+            assert got == pytest.approx(exact, rel=1e-10, abs=1e-12), (i, j, k1, k2)
 
 
 def test_svd_graded_reconstruction_and_projector_identity():

@@ -14,7 +14,7 @@ from ..c4v.rdm import _sym_pos_def_rdm
 from .components import corner_ld, corner_lu, corner_rd, corner_ru
 
 
-def rdm1x1(coord, state, env, sym_pos_def: bool = False):
+def rdm1x1(coord, state, env, sym_pos_def: bool = False, raw: bool = False):
     """1-site RDM (dense mirror: rdm.rdm1x1; reference rdm.py:71-258)."""
     c = state.vertexToSite(coord)
     a = state.sites[c]
@@ -31,10 +31,12 @@ def rdm1x1(coord, state, env, sym_pos_def: bool = False):
     R = C[(c, (1, -1))].tensordot(Tr, ((1,), (0,)))         # (p,mk,nb,b)
     R = R.tensordot(C[(c, (1, 1))], ((3,), (0,)))           # (p,m,n,j)
     rho = q.tensordot(R, ((0, 3, 5, 1), (0, 1, 2, 3)))      # (s,z)
+    if raw:
+        return rho
     return _sym_pos_def_rdm(rho.to_dense(), sym_pos_def=sym_pos_def)
 
 
-def rdm2x1(coord, state, env, sym_pos_def: bool = False):
+def rdm2x1(coord, state, env, sym_pos_def: bool = False, raw: bool = False):
     """Horizontal 2-site RDM of (coord, coord+(1,0))
     (dense mirror: rdm.rdm2x1; reference rdm.py:304-570)."""
     site_of = state.vertexToSite
@@ -52,12 +54,14 @@ def rdm2x1(coord, state, env, sym_pos_def: bool = False):
     rh = ru.tensordot(cb1, ((3, 4, 5), (3, 0, 1)))          # (l,e,f,s,z,lcb)
 
     rho = lh.tensordot(rh, ((0, 1, 2, 5), (0, 1, 2, 5)))    # (s,z,w,v)
+    if raw:
+        return rho  # (s0, z0, s1, z1)
     return _sym_pos_def_rdm(
         rho.to_dense().transpose(0, 2, 1, 3), sym_pos_def=sym_pos_def
     )
 
 
-def rdm1x2(coord, state, env, sym_pos_def: bool = False):
+def rdm1x2(coord, state, env, sym_pos_def: bool = False, raw: bool = False):
     """Vertical 2-site RDM of (coord, coord+(0,1))
     (dense mirror: rdm.rdm1x2; reference rdm.py:571-960)."""
     site_of = state.vertexToSite
@@ -75,6 +79,8 @@ def rdm1x2(coord, state, env, sym_pos_def: bool = False):
     bh = ld.tensordot(rb1, ((3, 4, 5), (3, 1, 2)))          # (t,e,f,s,z,t2)
 
     rho = th.tensordot(bh, ((0, 1, 2, 5), (0, 1, 2, 5)))    # (s,z,w,v)
+    if raw:
+        return rho  # (s0, z0, s1, z1)
     return _sym_pos_def_rdm(
         rho.to_dense().transpose(0, 2, 1, 3), sym_pos_def=sym_pos_def
     )
@@ -100,19 +106,21 @@ def rdm2x2(coord, state, env, sym_pos_def: bool = False):
     return _sym_pos_def_rdm(rho, sym_pos_def=sym_pos_def)
 
 
-def rdm2x2_NNN_11(coord, state, env, sym_pos_def: bool = False):
+def rdm2x2_NNN_11(coord, state, env, sym_pos_def: bool = False, raw: bool = False):
     """Diagonal pair (coord, coord+(1,1)) (dense mirror:
     rdm.rdm2x2_NNN_11; reference rdm.py:962-1143)."""
     lu, ru, ld, rd = _four_corners(coord, state, env, (1, 0, 0, 1))
     uh = lu.tensordot(ru, ((3, 4, 5), (0, 1, 2)))   # (r3, s0,z0, c3)
     lh = ld.tensordot(rd, ((3, 4, 5), (3, 4, 5)))   # (r3, r3', s3,z3)
     rho = uh.tensordot(lh, ((0, 1, 2, 5, 6, 7), (0, 1, 2, 3, 4, 5)))
+    if raw:
+        return rho  # (s0, z0, s3, z3): upper-left first, lower-right second
     return _sym_pos_def_rdm(
         rho.to_dense().transpose(0, 2, 1, 3), sym_pos_def=sym_pos_def
     )
 
 
-def rdm2x2_NNN_1n1(coord, state, env, sym_pos_def: bool = False):
+def rdm2x2_NNN_1n1(coord, state, env, sym_pos_def: bool = False, raw: bool = False):
     """Anti-diagonal pair (coord, coord+(1,-1)); site order
     (lower-left, upper-right) (dense mirror: rdm.rdm2x2_NNN_1n1)."""
     coord = (coord[0], coord[1] - 1)
@@ -120,6 +128,8 @@ def rdm2x2_NNN_1n1(coord, state, env, sym_pos_def: bool = False):
     uh = lu.tensordot(ru, ((3, 4, 5), (0, 1, 2)))   # (r3, c3, s1,z1)
     lh = ld.tensordot(rd, ((3, 4, 5), (3, 4, 5)))   # (r3, s2,z2, r3')
     rho = uh.tensordot(lh, ((0, 1, 2, 3, 4, 5), (0, 1, 2, 5, 6, 7)))
+    if raw:
+        return rho  # (s1, z1, s2, z2): upper-right FIRST, lower-left second
     # td order (s1,z1,s2,z2) -> (s2,s1,z2,z1)
     return _sym_pos_def_rdm(
         rho.to_dense().transpose(2, 0, 3, 1), sym_pos_def=sym_pos_def

@@ -55,8 +55,11 @@ class SpinfulFermionsU1:
         self.shift = shift
         q0, q1, q2 = shift, 1 + shift, 2 + shift
         self.qs = (q0, q1, q2)
-        # sector dims: q0 -> [|0>], q1 -> [u, d], q2 -> [ud]
-        self.phys = leg({q0: 1, q1: 2, q2: 1})
+        # sector dims: q0 -> [|0>], q1 -> [u, d], q2 -> [ud].  The leg is
+        # graded by the TRUE fermion parity: the charge shift is carried
+        # by a bosonic dummy (LegCharges.pshift), matching the loader's
+        # grading of the reference's half-filling states.
+        self.phys = leg({q0: 1, q1: 2, q2: 1}, pshift=abs(shift) % 2)
         self.dtype = dtype
 
     # ------------------------------------------------------------ basics
@@ -128,28 +131,52 @@ class SpinfulFermionsU1:
                              out, A.dtype, fermionic=True)
 
 
-def with_string(op, side: str):
-    """Attach the string leg that makes an odd operator parity-even.
+def _scalar(t):
+    """Extract the value of a rank-0 AbelianTensor."""
+    if not t.blocks:
+        return 0.0 + 0.0j
+    return complex(sum(np.asarray(b).reshape(()) for b in t.blocks.values()))
 
-    ``side`` orders the operator pair: the "first" operator (earlier in
-    the fermionic order) exposes its string leg with signature -1 at the
-    END of its legs, the "second" with signature +1 at the FRONT;
-    contracting first.string with second.string then yields the ordered
-    two-site product  O_first (x) O_second  with the correct global
-    anticommutation signs carried by the graded contraction.
-    """
-    if side == "first":
-        return op.add_leg(axis=2, s=-1)
-    if side == "second":
-        return op.add_leg(axis=0, s=1)
-    raise ValueError(side)
+
+def dress_in(op):
+    """The canonical graded tensor of an operator: matrix elements with
+    the in-leg cap sign ``(-1)^{p(q_in)}`` absorbed.
+
+    Derivation: applying O to a ket routes O's dual in-leg past the cap
+    in (theta-bar, theta) order, costing (-1)^{p}; dressing restores the
+    plain matrix action.  With TRUE leg parities this single local rule
+    makes ANY insertion geometry exact — validated block-by-block
+    against Fock-space computations for all pair distances and parity
+    patterns (tests/test_fermionic.py)."""
+    blocks = {}
+    for (qo, qi), b in op.blocks.items():
+        if op.leg_parity(1, qi):
+            b = -np.asarray(b)
+        blocks[(qo, qi)] = b
+    return op.copy_with(blocks)
+
+
+def expval1(rho, op):
+    """<O> from a raw 1-site graded RDM rho[s, z] (unnormalized);
+    divide by ``expval1(rho, I)``."""
+    return _scalar(rho.tensordot(dress_in(op), ((0, 1), (1, 0))))
+
+
+def expval_pair(rho, op0, op1):
+    """<O0 O1> from a raw 2-site graded RDM rho[s0, z0, s1, z1]
+    (unnormalized), with op0 acting on the FIRST site of the RDM's leg
+    order and the operator pair multiplied in that same fermionic order
+    (the ordering the reference routes through yastn's ``f_ordered`` +
+    swap gates, tv_model.py:307-316).  To measure the reversed order of
+    an odd pair, swap arguments and negate (anticommute)."""
+    O = ordered_pair(op0, op1)  # (out0, in0, out1, in1)
+    return _scalar(rho.tensordot(O, ((0, 1, 2, 3), (1, 0, 3, 2))))
 
 
 def ordered_pair(op_i, op_j):
     """Two-site operator O[s_i, s_i', s_j, s_j'] for the *ordered*
     product (op_i at the earlier site in the fermionic order, op_j at
-    the later).  Parity-even operators pass through unchanged logic-wise
-    (their string legs are trivial)."""
-    a = with_string(op_i, "first")      # (out_i, in_i, str-)
-    b = with_string(op_j, "second")     # (str+, out_j, in_j)
-    return a.tensordot(b, ((2,), (0,)))  # (out_i, in_i, out_j, in_j)
+    the later): the graded outer product of the in-dressed operators.
+    No string legs — the Grassmann grading of the concatenated monomial
+    (odd sub-tensors in operator order) IS the ordering string."""
+    return dress_in(op_i).tensordot(dress_in(op_j), ((), ()))

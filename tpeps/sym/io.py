@@ -110,6 +110,103 @@ def serialize_abelian_tensor(t: AbelianTensor) -> dict:
     return out
 
 
+def read_yastn_tensor(json_t, fermionic: bool = True, pshifts=None) -> AbelianTensor:
+    """Parse a yastn ``Tensor.save_to_dict`` entry (the format of the
+    reference's PepsAD states, e.g.
+    test-input/abelian/CI_D3_1x1_U1_state.json): flat data ``_d`` +
+    per-block charges ``t`` / dims ``D`` + signature ``s`` and total
+    charge ``n``.  Fused-leg metadata (``hfs``) is ignored — the leg is
+    kept as a plain charge->dim table."""
+    assert json_t.get("type") == "Tensor"
+    sym = _SYM_OF[json_t["SYM_ID"]]
+    nsym = 2 if sym == "U1xU1" else 1
+    signature = tuple(int(x) for x in json_t["s"])
+    rank = len(signature)
+    n = _charge(nsym, json_t["n"])
+    raw_d = json_t["_d"]
+    cplx = bool(raw_d) and isinstance(raw_d[0], dict)
+    if cplx:
+        flat = np.array([complex(v["real"], v["imag"]) for v in raw_d])
+    else:
+        flat = np.array([float(v) for v in raw_d])
+    dtype = jnp.complex128 if cplx else jnp.float64
+
+    leg_dims = [dict() for _ in range(rank)]
+    blocks = {}
+    off = 0
+    for tq, td in zip(json_t["t"], json_t["D"]):
+        if nsym == 1:
+            qs = tuple(int(c) for c in tq)
+        else:
+            cs = [int(c) for c in tq]
+            qs = tuple(tuple(cs[i * nsym : (i + 1) * nsym]) for i in range(rank))
+        dims = tuple(int(d) for d in td)
+        for i, (q, d) in enumerate(zip(qs, dims)):
+            prev = leg_dims[i].setdefault(q, d)
+            assert prev == d, f"inconsistent dim for leg {i} charge {q}"
+        size = int(np.prod(dims))
+        blocks[qs] = flat[off : off + size].reshape(dims)
+        off += size
+    assert off == flat.size, f"data size mismatch: {off} != {flat.size}"
+    if pshifts is None:
+        pshifts = _infer_pshifts(json_t, rank)
+    legs = tuple(leg(ld, ps) for ld, ps in zip(leg_dims, pshifts))
+    return AbelianTensor(sym, signature, legs, n, blocks, dtype, fermionic=fermionic)
+
+
+def _infer_pshifts(json_t, rank):
+    """Parity shifts from yastn hard-fusion metadata: a leg fused with
+    dummy charge-shift legs (trees like "poo" with an odd total shift)
+    is graded by the TRUE fermion parity, i.e. pshift = parity of the
+    total dummy charge (see LegCharges.pshift)."""
+    hfs = json_t.get("hfs")
+    if not hfs:
+        return (0,) * rank
+    out = []
+    for h in hfs:
+        shift = 0
+        ts = h.get("t") or []
+        ds = h.get("D") or []
+        # constituent legs with a single charge of dim 1 are dummies
+        for tlist, dlist in zip(ts, ds):
+            if len(tlist) == 1 and list(dlist) == [1]:
+                q = tlist[0]
+                qv = sum(q) if isinstance(q, (list, tuple)) else q
+                shift += int(qv)
+        out.append(abs(shift) % 2)
+    return tuple(out)
+
+
+def read_peps_ad(path, fermionic: bool = True) -> IPEPS_ABELIAN:
+    """Read a reference ``PepsAD`` state (ipeps/integration_yastn.py:255
+    ``load_PepsAD``): yastn fPEPS tensors with legs ``[t, l, b, r, s]``,
+    signature (1, 1, -1, -1, 1).  Graded-transposed to the tpeps
+    ``a[s, u, l, d, r]`` convention (signature (1, 1, 1, -1, -1)); the
+    graded transpose preserves the encoded fermionic state.  yastn's
+    (row nx, col ny) maps to tpeps (y, x), so yastn bonds "r"/"b" are
+    the tpeps horizontal/vertical bonds."""
+    with open(path) as f:
+        raw = json.load(f)
+    assert raw.get("type") == "PepsAD", raw.get("type")
+    pattern = raw["geometry"]["pattern"]
+    sites = OrderedDict()
+    for key, jt in raw["parameters"].items():
+        # keys like "(0, 0)_0" -> site (nx, ny)
+        coord_s = key.rsplit("_", 1)[0].strip("()")
+        nx, ny = (int(v) for v in coord_s.split(","))
+        t = read_yastn_tensor(jt, fermionic=fermionic)
+        assert t.signature == (1, 1, -1, -1, 1), t.signature
+        sites[(ny, nx)] = t.transpose((4, 0, 1, 2, 3))  # -> (s, u, l, d, r)
+    lY, lX = len(pattern), len(pattern[0])
+    sym = next(iter(sites.values())).sym
+
+    def vertexToSite(coord):
+        x, y = coord
+        return ((x % lX + lX) % lX, (y % lY + lY) % lY)
+
+    return IPEPS_ABELIAN(sym, sites, vertexToSite=vertexToSite, lX=lX, lY=lY)
+
+
 def read_ipeps_abelian(path, vertexToSite=None) -> IPEPS_ABELIAN:
     """Read an abelian iPEPS state JSON (reference ipeps_abelian.py:412)."""
     with open(path) as f:

@@ -85,9 +85,18 @@ def _perm_sign(parities, axes) -> float:
 
 @dataclass(frozen=True)
 class LegCharges:
-    """Charge sectors of one leg: mapping charge -> dimension."""
+    """Charge sectors of one leg: mapping charge -> dimension.
+
+    ``pshift`` offsets the fermionic grading of the leg: its parity is
+    ``(charge-parity + pshift) mod 2``.  Needed for legs whose charge is
+    shifted away from the particle number — e.g. the reference's
+    half-filling physical legs, stored fused with a charge -1 dummy
+    (test-input/abelian/CI_D3_1x1_U1_state.json ``hfs``): the dummy is a
+    *bosonic* charge carrier, so the fused leg must be graded by the
+    TRUE fermion parity p(q+1) = p(q)+1."""
 
     charges: tuple  # tuple of (charge, dim) pairs, charge-sorted
+    pshift: int = 0
 
     @property
     def dims(self):
@@ -105,10 +114,10 @@ class LegCharges:
         raise KeyError(q)
 
 
-def leg(charge_dims) -> LegCharges:
+def leg(charge_dims, pshift: int = 0) -> LegCharges:
     """Build a LegCharges from a {charge: dim} mapping."""
     items = sorted(charge_dims.items(), key=lambda x: (str(type(x[0])), x[0]))
-    return LegCharges(tuple(items))
+    return LegCharges(tuple(items), pshift)
 
 
 class AbelianTensor:
@@ -144,7 +153,12 @@ class AbelianTensor:
         self.blocks = dict(blocks) if blocks else {}
 
     def _parities(self, qs):
-        return tuple(_parity(self.sym, q) for q in qs)
+        return tuple(
+            (_parity(self.sym, q) + l.pshift) % 2 for q, l in zip(qs, self.legs)
+        )
+
+    def leg_parity(self, i: int, q) -> int:
+        return (_parity(self.sym, q) + self.legs[i].pshift) % 2
 
     # -------------------------------------------------------------- meta
     @property
@@ -241,7 +255,8 @@ class AbelianTensor:
 
         sig = tuple(-s if i in axes else s for i, s in enumerate(self.signature))
         legs = tuple(
-            leg({_qscale(self.sym, -1, q): d for q, d in l.charges}) if i in axes else l
+            leg({_qscale(self.sym, -1, q): d for q, d in l.charges}, l.pshift)
+            if i in axes else l
             for i, l in enumerate(self.legs)
         )
         blocks = {
@@ -254,7 +269,8 @@ class AbelianTensor:
         signatures (yastn's ``flip_signature().switch_signature('all')``,
         reference ipeps_abelian_c4v.py:199 — the Neel partner map)."""
         legs = tuple(
-            leg({_qscale(self.sym, -1, q): d for q, d in l.charges}) for l in self.legs
+            leg({_qscale(self.sym, -1, q): d for q, d in l.charges}, l.pshift)
+            for l in self.legs
         )
         blocks = {
             tuple(_qscale(self.sym, -1, q) for q in qs): b
@@ -330,6 +346,11 @@ class AbelianTensor:
                 raise ValueError(
                     f"contracted legs ({i},{j}) must carry opposite signatures, "
                     f"got {self.signature[i]} and {other.signature[j]}"
+                )
+            if (self.fermionic or other.fermionic) and \
+                    self.legs[i].pshift != other.legs[j].pshift:
+                raise ValueError(
+                    f"contracted legs ({i},{j}) carry different parity shifts"
                 )
             da, db = self.legs[i].dims, other.legs[j].dims
             for q in set(da) & set(db):
@@ -428,7 +449,8 @@ class AbelianTensor:
             lst = sec.setdefault(qf, [])
             off = sum(e[2] * e[3] for e in lst)
             lst.append((q1, q2, d1, d2, off))
-        fused_leg = leg({qf: sum(e[2] * e[3] for e in lst) for qf, lst in sec.items()})
+        fused_leg = leg({qf: sum(e[2] * e[3] for e in lst) for qf, lst in sec.items()},
+                    (l1.pshift + l2.pshift) % 2)
         offset_of = {
             (qf, q1, q2): off for qf, lst in sec.items() for q1, q2, _, _, off in lst
         }
@@ -469,7 +491,7 @@ class AbelianTensor:
                              self.fermionic)
 
     # ---------------------------------------------------------- aux legs
-    def add_leg(self, axis: int = -1, s: int = -1, q=None):
+    def add_leg(self, axis: int = -1, s: int = -1, q=None, pshift: int = 0):
         """Insert a dim-1 leg carrying charge ``q`` at ``axis`` such that
         the total charge becomes group-neutral (yastn's ``add_leg``).
 
@@ -489,7 +511,7 @@ class AbelianTensor:
             sh = b.shape
             blocks[qs[:axis] + (q,) + qs[axis:]] = b.reshape(sh[:axis] + (1,) + sh[axis:])
         sig = self.signature[:axis] + (s,) + self.signature[axis:]
-        legs = self.legs[:axis] + (leg({q: 1}),) + self.legs[axis:]
+        legs = self.legs[:axis] + (leg({q: 1}, pshift),) + self.legs[axis:]
         # Grassmann note: inserting a dim-1 leg at `axis` places its
         # theta at that position in every block monomial with NO sign —
         # callers account for ordering via subsequent graded transposes.
@@ -681,7 +703,8 @@ def eigh_blockwise(t: AbelianTensor, row_axes, col_axes, chi=None,
             shape = tuple(tp.legs[i].dims[rk[i]] for i in range(nrow)) + (k,)
             U_blocks[rk + (qsec,)] = blk.reshape(shape)
 
-    new_leg = leg(new_leg_dims)
+    rows_pshift = sum(l.pshift for l in tp.legs[:nrow]) % 2
+    new_leg = leg(new_leg_dims, rows_pshift)
     U_t = AbelianTensor(
         t.sym, tp.signature[:nrow] + (-1,), tp.legs[:nrow] + (new_leg,), 0,
         U_blocks, t.dtype, t.fermionic,
@@ -742,16 +765,18 @@ def svd_blockwise(t: AbelianTensor, row_axes, col_axes, chi=None,
             shape = (k,) + tuple(tp.legs[nrow + i].dims[ck[i]] for i in range(len(ck)))
             V_blocks[(qsec,) + ck] = blk.reshape(shape)
 
+    rows_pshift = sum(l.pshift for l in tp.legs[:nrow]) % 2
     if t.fermionic:
         # graded reconstruction tensordot(U*S, V, ((-1,), (0,))) sees U's
         # internal leg on the dual (-1) side and costs (-1)^{p(qsec)};
         # absorb the compensating sign into V so U.S.V == T under the
         # graded contraction (validated in tests/test_fermionic.py).
         V_blocks = {
-            q: (-b if _parity(t.sym, q[0]) else b) for q, b in V_blocks.items()
+            q: (-b if (_parity(t.sym, q[0]) + rows_pshift) % 2 else b)
+            for q, b in V_blocks.items()
         }
 
-    new_leg = leg(new_leg_dims_U)
+    new_leg = leg(new_leg_dims_U, rows_pshift)
     # U carries the original row legs + new leg with signature -1 carrying qsec
     U_t = AbelianTensor(
         t.sym, tp.signature[:nrow] + (-1,), tp.legs[:nrow] + (new_leg,), 0,
