@@ -47,6 +47,34 @@ class ENV_ABELIAN:
         return out
 
 
+def env_with_grading(env: ENV_ABELIAN, fermionic: bool) -> ENV_ABELIAN:
+    """Reinterpret every environment tensor with the given Grassmann
+    grading flag (blocks shared, no copies).
+
+    For fermionic states the environment is CONVERGED on the bosonic
+    interpretation: every closed norm-network term is identically
+    sign-free in the row-major arrangement (verified term-by-term on
+    2x1/1x2/2x2 tori in tests/test_fermionic.py), so the bosonic CTM
+    computes the exact norm environment with the physical truncation
+    spectrum, while the graded run's open pieces carry a non-factorizable
+    sign structure that wrecks the truncation basis.  Observables then
+    reinstate the grading: RDM patches contract graded state tensors
+    with the graded *view* of this environment (chi legs' parity is
+    well-defined: a fused (ket, bra) pair's parity p(k)+p(b) is a
+    function of the fused charge alone).
+    """
+    from ...sym.tensor import AbelianTensor
+
+    out = ENV_ABELIAN(env.chi)
+    for k, t in env.C.items():
+        out.C[k] = AbelianTensor(t.sym, t.signature, t.legs, t.n, t.blocks,
+                                 t.dtype, fermionic)
+    for k, t in env.T.items():
+        out.T[k] = AbelianTensor(t.sym, t.signature, t.legs, t.n, t.blocks,
+                                 t.dtype, fermionic)
+    return out
+
+
 def _normalized(t):
     s = t.max_abs()
     if isinstance(s, (float, np.floating, np.ndarray)):
@@ -57,7 +85,90 @@ def _normalized(t):
 def init_env(state, chi: int, init_type: str = "CTMRG") -> ENV_ABELIAN:
     if init_type == "CTMRG":
         return init_from_ipeps_pbc(state, chi)
+    if init_type == "eye":
+        return init_eye(state, chi)
     raise ValueError(f"Invalid abelian environment initialization: {init_type}")
+
+
+def init_eye(state, chi: int) -> ENV_ABELIAN:
+    """Identity-channel environment (yastn EnvCTM ``init='eye'``, used by
+    the reference's fermionic runs, examples/honeycomb/CI.py:135): every
+    corner is the scalar 1 on a dim-1 charge-0 chi leg and every edge is
+    the identity on its (ket, bra) bond pair.  Chi sectors then grow
+    move by move through the truncated projectors."""
+    from ...sym.tensor import AbelianTensor, leg
+
+    env = ENV_ABELIAN(chi)
+    one = np.ones((1, 1))
+
+    def triv(sym):
+        return leg({0 if sym != "U1xU1" else (0, 0): 1})
+
+    for coord in state.sites:
+        a = state.sites[coord]
+        sym = a.sym
+        t0 = triv(sym)
+        backend_np = all(
+            isinstance(b, np.ndarray) for b in a.blocks.values()
+        )
+        q0 = 0 if sym != "U1xU1" else (0, 0)
+        # corner signatures mirror init_from_ipeps_pbc's fused pairs:
+        # C(-1,-1)=(d2,r2)->(-1,-1); C(1,-1)=(l2,d2)->(1,-1);
+        # C(1,1)=(u2,l2)->(1,1);     C(-1,1)=(u2,r2)->(1,-1)
+        corner_sig = {
+            (-1, -1): (-1, -1), (1, -1): (1, -1),
+            (1, 1): (1, 1), (-1, 1): (1, -1),
+        }
+        for cvec in CORNER_VECS:
+            c = AbelianTensor(sym, corner_sig[cvec], (t0, t0), 0, dtype=a.dtype,
+                              fermionic=a.fermionic)
+            c.blocks[(q0, q0)] = one if backend_np else jnp.asarray(one, a.dtype)
+            env.C[(coord, cvec)] = c
+
+        # edge identities: delta over the facing (ket, bra) pair.  Leg
+        # layouts follow the module docstring; the ket leg keeps the
+        # site tensor's signature, the bra leg its conjugate's.
+        #   a[s,u,l,d,r] signature (1,1,1,-1,-1)
+        for dvec, ax in (((0, -1), 3), ((-1, 0), 4), ((0, 1), 1), ((1, 0), 2)):
+            # T faces the opposite leg of the neighbouring site: the top
+            # edge carries the site's u-facing bond -> pair of (d-leg of
+            # the row above) == (u-leg charges); use the site's own axis
+            # that the edge plugs into: top edge plugs into u (ax=1)...
+            pass
+        # top edge (0,-1): legs (chi_l, Dk, Db, chi_r); D pair faces the
+        # site's u leg (contracts with a's u (sig +1) and a*'s u (-1)),
+        # so the edge's ket leg must carry sig -1 and the bra +1, with
+        # the u-leg charge table.
+        def eye_edge(bond_ax, order):
+            lk = a.legs[bond_ax]
+            sk, sb = -a.signature[bond_ax], a.signature[bond_ax]
+            legs_T = {
+                "kb_mid": ((t0, lk, lk, t0), (1, sk, sb, -1)),
+                "kb_tail": ((t0, t0, lk, lk), (1, -1, sk, sb)),
+                "kb_head": ((lk, lk, t0, t0), (sk, sb, 1, -1)),
+                "kb_mid2": ((t0, lk, lk, t0), (1, sk, sb, -1)),
+            }[order]
+            t = AbelianTensor(sym, legs_T[1], legs_T[0], 0, dtype=a.dtype,
+                              fermionic=a.fermionic)
+            for q, d in lk.charges:
+                ey = np.eye(d)
+                if order == "kb_mid" or order == "kb_mid2":
+                    blk = ey.reshape(1, d, d, 1)
+                    key = (q0, q, q, q0)
+                elif order == "kb_tail":
+                    blk = ey.reshape(1, 1, d, d)
+                    key = (q0, q0, q, q)
+                else:
+                    blk = ey.reshape(d, d, 1, 1)
+                    key = (q, q, q0, q0)
+                t.blocks[key] = blk if backend_np else jnp.asarray(blk, a.dtype)
+            return t
+
+        env.T[(coord, (0, -1))] = eye_edge(1, "kb_mid")    # (chi_l, uk, ub, chi_r)
+        env.T[(coord, (-1, 0))] = eye_edge(2, "kb_tail")   # (chi_u, chi_d, lk, lb)
+        env.T[(coord, (0, 1))] = eye_edge(3, "kb_head")    # (dk, db, chi_l, chi_r)
+        env.T[(coord, (1, 0))] = eye_edge(4, "kb_mid2")    # (chi_u, rk, rb, chi_d)
+    return env
 
 
 def init_from_ipeps_pbc(state, chi: int) -> ENV_ABELIAN:

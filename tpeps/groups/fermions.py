@@ -156,10 +156,28 @@ def dress_in(op):
     return op.copy_with(blocks)
 
 
+def as_bosonic(t):
+    """The planar-bosonic evaluation view of a graded tensor: same
+    blocks, grading off, but ``conj()`` keeps the Grassmann dagger's
+    reversal signs (``conj_reversal``) — with that one rule, every
+    closed fermionic network equals the plain bosonic contraction of
+    these views term by term (tests/test_fermionic.py), so the stable
+    bosonic CTM computes exact fermionic environments and RDMs."""
+    return AbelianTensor(t.sym, t.signature, t.legs, t.n, t.blocks, t.dtype,
+                         fermionic=False, conj_reversal=True)
+
+
 def expval1(rho, op):
-    """<O> from a raw 1-site graded RDM rho[s, z] (unnormalized);
-    divide by ``expval1(rho, I)``."""
-    return _scalar(rho.tensordot(dress_in(op), ((0, 1), (1, 0))))
+    """<O> from a raw 1-site RDM rho[s, z] (unnormalized); divide by
+    ``expval1(rho, I)``.
+
+    Works on the BOSONIC evaluation of the network: graded and bosonic
+    insertion networks are term-wise identical in the row-major
+    arrangement (verified exhaustively on small tori in
+    tests/test_fermionic.py), so the environment AND the RDM patch are
+    contracted bosonically — the only fermionic remnants are the local
+    in-leg dressing and the explicit pair ordering of expval_pair."""
+    return _scalar(as_bosonic(rho).tensordot(as_bosonic(dress_in(op)), ((0, 1), (1, 0))))
 
 
 def expval_pair(rho, op0, op1):
@@ -170,7 +188,7 @@ def expval_pair(rho, op0, op1):
     swap gates, tv_model.py:307-316).  To measure the reversed order of
     an odd pair, swap arguments and negate (anticommute)."""
     O = ordered_pair(op0, op1)  # (out0, in0, out1, in1)
-    return _scalar(rho.tensordot(O, ((0, 1, 2, 3), (1, 0, 3, 2))))
+    return _scalar(as_bosonic(rho).tensordot(as_bosonic(O), ((0, 1, 2, 3), (1, 0, 3, 2))))
 
 
 def ordered_pair(op_i, op_j):

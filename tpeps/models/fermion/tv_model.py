@@ -35,7 +35,16 @@ from __future__ import annotations
 import numpy as np
 
 from ...ctm.generic_abelian import rdm as ardm
-from ...groups.fermions import SpinfulFermionsU1, expval1, expval_pair
+from ...groups.fermions import SpinfulFermionsU1, as_bosonic, expval1, expval_pair
+from ...ipeps.ipeps_abelian import IPEPS_ABELIAN
+
+
+def _bosonic_state(state):
+    """Bosonic view of a (possibly graded) abelian iPEPS: the RDM patch
+    and the environment are contracted bosonically (term-wise equal to
+    the graded network, see tpeps.groups.fermions.expval1)."""
+    sites = {c: as_bosonic(t) for c, t in state.sites.items()}
+    return IPEPS_ABELIAN(state.sym, sites, state.vertexToSite, state.lX, state.lY)
 
 
 class TVModel:
@@ -66,6 +75,7 @@ class TVModel:
         e_tot = 0.0
         t2p = self.t2 * np.exp(1j * self.phi)
         use_2x2 = any(x != 0 for x in (self.V2, self.V3, self.t2, self.t3))
+        state = _bosonic_state(state)
         for c in state.sites:
             # --- onsite
             r1 = ardm.rdm1x1(c, state, env, raw=True)
@@ -145,6 +155,7 @@ class TVModel:
     # --------------------------------------------------------------- obs
     def eval_obs(self, state, env):
         obs = {}
+        state = _bosonic_state(state)
         for c in state.sites:
             r1 = ardm.rdm1x1(c, state, env, raw=True)
             nrm = expval1(r1, self.I)

@@ -140,7 +140,7 @@ class AbelianTensor:
     """
 
     def __init__(self, sym: str, signature, legs, n=0, blocks=None, dtype=jnp.float64,
-                 fermionic: bool = False):
+                 fermionic: bool = False, conj_reversal: bool = False):
         self.sym = sym
         if sym == "U1xU1" and isinstance(n, int):
             assert n == 0
@@ -150,6 +150,14 @@ class AbelianTensor:
         self.n = n
         self.dtype = dtype
         self.fermionic = fermionic
+        # conj_reversal: apply the Grassmann dagger-reversal block signs in
+        # conj() even when the tensor is contracted bosonically — the
+        # "planar-bosonic" evaluation mode of fermionic networks (see
+        # groups/fermions.py): every closed fermionic network equals the
+        # bosonic contraction of the same blocks PROVIDED the bra keeps
+        # the graded conj's reversal signs (verified term-by-term on
+        # tori and open patches in tests/test_fermionic.py).
+        self.conj_reversal = conj_reversal
         self.blocks = dict(blocks) if blocks else {}
 
     def _parities(self, qs):
@@ -206,7 +214,7 @@ class AbelianTensor:
 
     def copy_with(self, blocks):
         return AbelianTensor(self.sym, self.signature, self.legs, self.n, blocks,
-                             self.dtype, self.fermionic)
+                             self.dtype, self.fermionic, self.conj_reversal)
 
     # --------------------------------------------------------------- ops
     def conj(self):
@@ -219,7 +227,7 @@ class AbelianTensor:
         blocks = {}
         for q, b in self.blocks.items():
             bc = _lib(b).conj(b)
-            if self.fermionic:
+            if self.fermionic or self.conj_reversal:
                 k = sum(self._parities(q))
                 if (k * (k - 1) // 2) % 2:
                     bc = -bc
@@ -232,6 +240,7 @@ class AbelianTensor:
             blocks,
             self.dtype,
             self.fermionic,
+            self.conj_reversal,
         )
 
     def conj_blocks(self):
@@ -262,7 +271,8 @@ class AbelianTensor:
         blocks = {
             tuple(fq(i, q) for i, q in enumerate(qs)): b for qs, b in self.blocks.items()
         }
-        return AbelianTensor(self.sym, sig, legs, self.n, blocks, self.dtype, self.fermionic)
+        return AbelianTensor(self.sym, sig, legs, self.n, blocks, self.dtype,
+                             self.fermionic, self.conj_reversal)
 
     def charge_conjugate(self):
         """Negate all block charges and the total charge, keeping
@@ -278,7 +288,7 @@ class AbelianTensor:
         }
         return AbelianTensor(
             self.sym, self.signature, legs, _qscale(self.sym, -1, self.n), blocks,
-            self.dtype, self.fermionic
+            self.dtype, self.fermionic, self.conj_reversal
         )
 
     def transpose(self, axes):
@@ -301,6 +311,7 @@ class AbelianTensor:
             blocks,
             self.dtype,
             self.fermionic,
+            self.conj_reversal,
         )
 
     def __add__(self, other):
@@ -411,7 +422,8 @@ class AbelianTensor:
         sig = tuple(self.signature[i] for i in keep_a) + tuple(other.signature[i] for i in keep_b)
         legs = tuple(self.legs[i] for i in keep_a) + tuple(other.legs[i] for i in keep_b)
         n = _qadd(self.sym, self.n, other.n)
-        return AbelianTensor(self.sym, sig, legs, n, out_blocks, self.dtype, fermionic)
+        return AbelianTensor(self.sym, sig, legs, n, out_blocks, self.dtype, fermionic,
+                             self.conj_reversal or other.conj_reversal)
 
     # ------------------------------------------------------------ fusion
     def fuse_pair(self, i: int):
@@ -488,7 +500,7 @@ class AbelianTensor:
         sig = self.signature[:i] + (sf,) + self.signature[i + 2 :]
         legs_out = self.legs[:i] + (fused_leg,) + self.legs[i + 2 :]
         return AbelianTensor(self.sym, sig, legs_out, self.n, out_blocks, self.dtype,
-                             self.fermionic)
+                             self.fermionic, self.conj_reversal)
 
     # ---------------------------------------------------------- aux legs
     def add_leg(self, axis: int = -1, s: int = -1, q=None, pshift: int = 0):
@@ -515,7 +527,8 @@ class AbelianTensor:
         # Grassmann note: inserting a dim-1 leg at `axis` places its
         # theta at that position in every block monomial with NO sign —
         # callers account for ordering via subsequent graded transposes.
-        return AbelianTensor(self.sym, sig, legs, n_new, blocks, self.dtype, self.fermionic)
+        return AbelianTensor(self.sym, sig, legs, n_new, blocks, self.dtype,
+                             self.fermionic, self.conj_reversal)
 
     def trace_scalar(self):
         """Full graded trace of a rank-2k tensor paired as
