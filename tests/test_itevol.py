@@ -127,3 +127,74 @@ def test_su_tfim_polarizes():
     rho = rdm1x1((0, 0), plain.sites, plain.vertexToSite, env.C, env.T)
     mx = float(jnp.trace(rho @ sx).real)
     assert mx > 0.49, f"<sx> = {mx}, expected ~0.5"
+
+
+def test_abelian_su_matches_dense():
+    """Abelian U(1) simple update == dense simple update on the same
+    state/gates (same global truncation decisions for a non-degenerate
+    XXZ spectrum), compared through converged CTM energies."""
+    import numpy as np
+
+    from tpeps.groups import su2
+    from tpeps.itevol import su_abelian
+    from tpeps.itevol.simple_update import all_nn_bonds, gate_from_hamiltonian, run_seq_2s
+    from tpeps.models.j1j2 import J1J2
+    from tpeps.sym.tensor import AbelianTensor, leg
+    from tpeps.ipeps.ipeps_abelian import IPEPS_ABELIAN
+    from tpeps.config import CtmArgs
+    from tpeps.ctm.generic import ctmrg as ctmrg_d
+    from tpeps.ctm.generic.env import init_env as init_env_d
+
+    # random U(1) 2x2 bipartite start (staggered total charge)
+    import jax
+
+    key = jax.random.PRNGKey(7)
+    phys = leg({-1: 1, 1: 1})
+    aux = leg({-1: 1, 0: 1, 1: 1})
+    sites = {}
+    for i, coord in enumerate([(0, 0), (1, 0), (0, 1), (1, 1)]):
+        key, sub = jax.random.split(key)
+        n = 1 if (coord[0] + coord[1]) % 2 == 0 else -1
+        sites[coord] = AbelianTensor.random(
+            sub, "U1", (1, 1, 1, -1, -1), (phys, aux, aux, aux, aux), n=n,
+            backend="np",
+        )
+    stA = su_abelian.IPEPS_ABELIAN_WEIGHTED(
+        sym="U1", sites=sites, lX=2, lY=2,
+    )
+
+    # XXZ gate (breaks SU(2) multiplets -> unambiguous truncation)
+    s2 = su2.SU2(2)
+    delta = 1.3
+    SS = delta * jnp.einsum("ij,ab->iajb", s2.SZ(), s2.SZ()) + 0.5 * (
+        jnp.einsum("ij,ab->iajb", s2.SP(), s2.SM())
+        + jnp.einsum("ij,ab->iajb", s2.SM(), s2.SP())
+    )
+    tau, D = 0.1, 3
+    gate_d = gate_from_hamiltonian(SS, tau)
+    gate_a = su_abelian.gate_from_hamiltonian(SS, tau, phys, "U1")
+
+    from tpeps.ipeps.ipeps import IPEPS_WEIGHTED
+
+    stD = IPEPS_WEIGHTED(
+        sites={c: t.to_dense() for c, t in sites.items()}, lX=2, lY=2,
+    )
+
+    bonds = all_nn_bonds(stA)
+    for _ in range(4):
+        stA = su_abelian.run_seq_2s(stA, [(b, gate_a) for b in bonds], D)
+        stD = run_seq_2s(stD, [(b, gate_d) for b in bonds], D)
+
+    # compare via converged dense CTM energies of the absorbed states
+    model = J1J2(j1=1.0, delta_zz=delta)
+    cfg = CtmArgs(ctm_max_iter=60, ctm_conv_tol=1e-9)
+
+    def energy(dense_state):
+        env = init_env_d(dense_state, 8)
+        env, _ = ctmrg_d.run(dense_state, env, cfg)
+        return float(model.energy_2x2_4site(dense_state, env))
+
+    eA = energy(stA.absorb_weights().to_dense())
+    eD = energy(stD.absorb_weights())
+    assert np.isfinite(eA) and np.isfinite(eD)
+    assert abs(eA - eD) < 5e-7, (eA, eD)

@@ -205,3 +205,84 @@ def test_d2_ladders_rung_singlet():
         model = COUPLEDLADDERS_D2_BIPARTITE(alpha=alpha)
         e = float(model.energy_2x1_1x2(state, env))
         assert abs(e - (-0.375)) < 1e-8, (alpha, e)
+
+
+def test_batiocu2po4_neel_product():
+    """BaTiOCu2Po4 on a Neel product state: every NN <S.S> = -1/4 and
+    every diagonal <S.S> = +1/4, so the 4x2-cell energy is exactly
+    2*(j1*4*(-1/4) + j2*2*(1/4)) + [jp-plaquettes]: each weak plaquette
+    contributes jp11*(-1/4) + jp12*(-1/4) + jp2*2*(1/4)."""
+    from tpeps.ipeps.ipeps import IPEPS
+    from tpeps.models.baTiOCu2Po4 import BaTiOCu2Po4
+
+    up = np.zeros((2, 1, 1, 1, 1)); up[0] = 1.0
+    dn = np.zeros((2, 1, 1, 1, 1)); dn[1] = 1.0
+    sites = {}
+    for x in range(4):
+        for y in range(2):
+            sites[(x, y)] = jnp.asarray(up if (x + y) % 2 == 0 else dn)
+    state = IPEPS(sites, vertexToSite=lambda c: (c[0] % 4, c[1] % 2), lX=4, lY=2)
+    env = _converge(state, 4, max_iter=6, tol=1e-12)
+
+    j1, j2, jp2, jp11, jp12 = 1.0, 0.3, 0.2, 0.15, 0.1
+    model = BaTiOCu2Po4(j1=j1, j2=j2, jp2=jp2, jp11=jp11, jp12=jp12)
+    e = float(model.energy_2x2_8site(state, env))
+    e_exact = 2 * (j1 * 4 * (-0.25) + j2 * 2 * 0.25) \
+        + 4 * (jp11 * (-0.25) + jp12 * (-0.25) + jp2 * 2 * 0.25)
+    assert abs(e - e_exact) < 1e-9, (e, e_exact)
+
+    obs, labels = model.eval_obs(state, env)
+    assert abs(obs[labels.index("avg_m")] - 0.5) < 1e-9
+
+
+def test_dimer_dimer_corrf_product_state():
+    """On a Neel product state every horizontal/vertical dimer operator
+    <S.S> factorizes to (-1/4) per dimer, so the dimer-dimer correlators
+    are exactly 1/16 at every distance."""
+    from tpeps.ctm.generic import corrf
+    from tpeps.groups import su2
+    from tpeps.ipeps.ipeps import IPEPS
+
+    up = np.zeros((2, 1, 1, 1, 1)); up[0] = 1.0
+    dn = np.zeros((2, 1, 1, 1, 1)); dn[1] = 1.0
+    sites = {(0, 0): jnp.asarray(up), (1, 0): jnp.asarray(dn),
+             (0, 1): jnp.asarray(dn), (1, 1): jnp.asarray(up)}
+    state = IPEPS(sites, vertexToSite=lambda c: (c[0] % 2, c[1] % 2), lX=2, lY=2)
+    env = _converge(state, 4, max_iter=6, tol=1e-12)
+
+    s2 = su2.SU2(2)
+    SS = s2.SS()  # [s0, s1, s0', s1']
+    vals_h = corrf.corrf_2sOH2sOH_E1(
+        (0, 0), (1, 0), state.sites, state.vertexToSite, env.C, env.T,
+        SS, lambda r: SS, 3,
+    )
+    assert np.allclose(np.asarray(vals_h), 1.0 / 16.0, atol=1e-10), vals_h
+    vals_v = corrf.corrf_2sOV2sOV_E2(
+        (0, 0), (1, 0), state.sites, state.vertexToSite, env.C, env.T,
+        SS, lambda r: SS, 3,
+    )
+    assert np.allclose(np.asarray(vals_v), 1.0 / 16.0, atol=1e-10), vals_v
+
+
+def test_c4v_width2_transfer_spec():
+    """Width-2 C4v transfer spectrum: finite, ordered, and gapless-free
+    sanity on a random symmetric state; on a product state the leading
+    width-2 eigenvalue is non-degenerate and normalized to 1."""
+    import jax
+
+    from tpeps.ctm.c4v.ctmrg import run_fixed_point
+    from tpeps.ctm.c4v.env import init_env as init_env_c4v
+    from tpeps.ctm.c4v.transferops import get_Top2_spec_c4v, get_Top_spec_c4v
+    from tpeps.ipeps.ipeps_c4v import symmetrize_c4v
+
+    rng = np.random.RandomState(3)
+    a = symmetrize_c4v(jnp.asarray(rng.rand(2, 2, 2, 2, 2) - 0.5), normalize=True)
+    env0 = init_env_c4v(a, 8, "CTMRG")
+    env, *_ = run_fixed_point(a, env0, max_iter=60, conv_tol=1e-10)
+    w1 = np.asarray(get_Top_spec_c4v(3, a, env))
+    w2 = np.asarray(get_Top2_spec_c4v(3, a, env))
+    lam1 = np.abs(w1[:, 0] + 1j * w1[:, 1])
+    lam2 = np.abs(w2[:, 0] + 1j * w2[:, 1])
+    assert np.all(np.isfinite(lam1)) and np.all(np.isfinite(lam2))
+    assert abs(lam2[0] - 1.0) < 1e-10
+    assert np.all(np.diff(lam2) < 1e-8)  # descending magnitudes

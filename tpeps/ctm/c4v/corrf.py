@@ -59,3 +59,30 @@ def corrf_1sO1sO(a, env: EnvC4v, op1, get_op2, dist: int):
         E0 = E0 / scale
         E1 = E1 / scale
     return jnp.stack(out)
+
+
+def apply_TM_1sO_2(a, env: EnvC4v, edge, op2=None):
+    """Grow the WIDTH-2 C4v channel by one column (T, a, a, T), with an
+    optional vertical 2-site operator inside the column (reference
+    corrf_c4v.py:272-308 ``apply_TM_1sO_2``)."""
+    import numpy as np
+
+    T = env.T
+    if op2 is None:
+        parts = [(_aXa(a), _aXa(a))]
+    else:
+        d = a.shape[0]
+        m = np.asarray(op2).reshape(d, d, d, d).transpose(0, 2, 1, 3).reshape(d * d, d * d)
+        U, S, Vh = np.linalg.svd(m, full_matrices=False)
+        k = max(int((S > 1e-14 * max(S[0], 1e-300)).sum()), 1)
+        o1 = jnp.asarray((U[:, :k] * S[:k][None, :]).T.reshape(k, d, d))
+        o2 = jnp.asarray(Vh[:k].reshape(k, d, d))
+        parts = [(_aXa(a, o1[i]), _aXa(a, o2[i])) for i in range(k)]
+    out = None
+    for A0, A1 in parts:
+        E = jnp.einsum("tmzb,qtu->mzbqu", edge, T)
+        E = jnp.einsum("mzbqu,umdr->zbqdr", E, A0)
+        E = jnp.einsum("zbqdr,dzev->bqrev", E, A1)
+        E = jnp.einsum("bqrev,bwe->qrvw", E, T)
+        out = E if out is None else out + E
+    return out

@@ -55,3 +55,24 @@ def get_EH_spec_Ttensor_c4v(n, L, a, env: EnvC4v, m: int | None = None):
     _e = _Env()
     _e.C, _e.T = C, T
     return get_EH_spec_Ttensor(n, L, (0, 0), (1, 0), _St(), _e, m=m)
+
+
+def get_Top2_spec_c4v(n: int, a, env: EnvC4v, normalize: bool = True,
+                      m: int | None = None):
+    """Leading ``n`` eigenvalues of the WIDTH-2 transfer operator
+    (reference transferops_c4v.py:70-118)."""
+    from .corrf import apply_TM_1sO_2
+
+    chi = env.chi
+    D2 = a.shape[1] ** 2
+    shape = (chi, D2, D2, chi)
+
+    def matvec(v):
+        return apply_TM_1sO_2(a, env, v.reshape(shape)).ravel()
+
+    rng = np.random.RandomState(1234)
+    v0 = jnp.asarray(rng.rand(chi * D2 * D2 * chi) - 0.5, dtype=a.dtype)
+    w = arnoldi_eigs(matvec, v0, n, m=m)
+    if normalize:
+        w = w / np.abs(w[0])
+    return jnp.asarray(np.stack([w.real, w.imag], axis=1))

@@ -27,6 +27,14 @@ def _split2(T, axis, D):
     return T.reshape(sh)
 
 
+def _split4(T, axis, Dk, Db):
+    """Unfuse a (Dket * Dbra) leg at ``axis`` (overlap envs allow
+    different bond dimensions on the two layers)."""
+    sh = list(T.shape)
+    sh[axis : axis + 1] = [Dk, Db]
+    return T.reshape(sh)
+
+
 def _sum_over_phys(f, a):
     """``sum_s f(a[s])`` via ``lax.scan`` — bounds the peak corner
     intermediate by 1/d (the reference's index-unrolled loops,
@@ -44,7 +52,8 @@ def _sum_over_phys(f, a):
     return acc
 
 
-def c2x2_lu(C, Tt, Tl, a, open_phys: bool = False, slice_phys: bool = False):
+def c2x2_lu(C, Tt, Tl, a, open_phys: bool = False, slice_phys: bool = False,
+            bra=None):
     """Upper-left corner from C(-1,-1), T(0,-1), T(-1,0), site
     (reference ctm_components.py:372-433 ``c2x2_LU_sl_c``).
 
@@ -52,8 +61,9 @@ def c2x2_lu(C, Tt, Tl, a, open_phys: bool = False, slice_phys: bool = False):
     at a time (``lax.scan``/``lax.map``), dividing the peak intermediate
     by d — the large-d (maple-leaf) memory mode."""
     d = a.shape[0]
-    Tt4 = _split2(Tt, 1, a.shape[1])  # [y(left), u, v, i(right)]
-    Tl4 = _split2(Tl, 2, a.shape[2])  # [x(up), j(down), l, k]
+    b = a if bra is None else bra
+    Tt4 = _split4(Tt, 1, a.shape[1], b.shape[1])  # [y(left), u, v, i(right)]
+    Tl4 = _split4(Tl, 2, a.shape[2], b.shape[2])  # [x(up), j(down), l, k]
     q = jnp.einsum("xy,yuvi->xuvi", C, Tt4)
     q = jnp.einsum("xuvi,xjlk->uvijlk", q, Tl4)
     if slice_phys:
@@ -73,20 +83,24 @@ def c2x2_lu(C, Tt, Tl, a, open_phys: bool = False, slice_phys: bool = False):
         return out.reshape(out.shape[0] * a.shape[3] ** 2, out.shape[3] * a.shape[4] ** 2)
     q = jnp.einsum("uvijlk,suler->vijkser", q, a)
     if open_phys:
-        out = jnp.einsum("vijkser,zvkfg->jefirgsz", q, jnp.conj(a))
+        out = jnp.einsum("vijkser,zvkfg->jefirgsz", q, jnp.conj(b))
         return out.reshape(
-            out.shape[0] * a.shape[3] ** 2, out.shape[3] * a.shape[4] ** 2, d, d
+            out.shape[0] * a.shape[3] * b.shape[3],
+            out.shape[3] * a.shape[4] * b.shape[4], d, d
         )
-    out = jnp.einsum("vijkser,svkfg->jefirg", q, jnp.conj(a))
-    return out.reshape(out.shape[0] * a.shape[3] ** 2, out.shape[3] * a.shape[4] ** 2)
+    out = jnp.einsum("vijkser,svkfg->jefirg", q, jnp.conj(b))
+    return out.reshape(out.shape[0] * a.shape[3] * b.shape[3],
+                       out.shape[3] * a.shape[4] * b.shape[4])
 
 
-def c2x2_ru(C, Tr, Tt, a, open_phys: bool = False, slice_phys: bool = False):
+def c2x2_ru(C, Tr, Tt, a, open_phys: bool = False, slice_phys: bool = False,
+            bra=None):
     """Upper-right corner from C(1,-1), T(1,0), T(0,-1), site
     (reference ctm_components.py:530-590 ``c2x2_RU_sl_c``)."""
     d = a.shape[0]
-    Tr4 = _split2(Tr, 1, a.shape[4])  # [t(up), w, v, b(down)]
-    Tt4 = _split2(Tt, 1, a.shape[1])  # [l(left), m, n, x(right)]
+    b = a if bra is None else bra
+    Tr4 = _split4(Tr, 1, a.shape[4], b.shape[4])  # [t(up), w, v, b(down)]
+    Tt4 = _split4(Tt, 1, a.shape[1], b.shape[1])  # [l(left), m, n, x(right)]
     q = jnp.einsum("xy,ywvb->xwvb", C, Tr4)
     q = jnp.einsum("xwvb,lmnx->wvblmn", q, Tt4)
     if slice_phys:
@@ -107,20 +121,24 @@ def c2x2_ru(C, Tr, Tt, a, open_phys: bool = False, slice_phys: bool = False):
     # ket layer: a[s, u=m, l=e, d=g, r=w]
     q = jnp.einsum("wvblmn,smegw->vblnseg", q, a)
     if open_phys:
-        out = jnp.einsum("vblnseg,znfhv->lefbghsz", q, jnp.conj(a))
+        out = jnp.einsum("vblnseg,znfhv->lefbghsz", q, jnp.conj(b))
         return out.reshape(
-            out.shape[0] * a.shape[2] ** 2, out.shape[3] * a.shape[3] ** 2, d, d
+            out.shape[0] * a.shape[2] * b.shape[2],
+            out.shape[3] * a.shape[3] * b.shape[3], d, d
         )
-    out = jnp.einsum("vblnseg,snfhv->lefbgh", q, jnp.conj(a))
-    return out.reshape(out.shape[0] * a.shape[2] ** 2, out.shape[3] * a.shape[3] ** 2)
+    out = jnp.einsum("vblnseg,snfhv->lefbgh", q, jnp.conj(b))
+    return out.reshape(out.shape[0] * a.shape[2] * b.shape[2],
+                       out.shape[3] * a.shape[3] * b.shape[3])
 
 
-def c2x2_rd(C, Tb, Tr, a, open_phys: bool = False, slice_phys: bool = False):
+def c2x2_rd(C, Tb, Tr, a, open_phys: bool = False, slice_phys: bool = False,
+            bra=None):
     """Lower-right corner from C(1,1), T(0,1), T(1,0), site
     (reference ctm_components.py:666-722 ``c2x2_RD_sl_c``)."""
     d = a.shape[0]
-    Tb4 = _split2(Tb, 0, a.shape[3])  # [m, n, l(left), y(right)]
-    Tr4 = _split2(Tr, 1, a.shape[4])  # [t(up), w, v, x(down)]
+    b = a if bra is None else bra
+    Tb4 = _split4(Tb, 0, a.shape[3], b.shape[3])  # [m, n, l(left), y(right)]
+    Tr4 = _split4(Tr, 1, a.shape[4], b.shape[4])  # [t(up), w, v, x(down)]
     q = jnp.einsum("xy,mnly->xmnl", C, Tb4)
     q = jnp.einsum("xmnl,twvx->mnltwv", q, Tr4)
     if slice_phys:
@@ -141,20 +159,24 @@ def c2x2_rd(C, Tb, Tr, a, open_phys: bool = False, slice_phys: bool = False):
     # ket layer: a[s, u=e, l=g, d=m, r=w]
     q = jnp.einsum("mnltwv,segmw->nltvseg", q, a)
     if open_phys:
-        out = jnp.einsum("nltvseg,zfhnv->teflghsz", q, jnp.conj(a))
+        out = jnp.einsum("nltvseg,zfhnv->teflghsz", q, jnp.conj(b))
         return out.reshape(
-            out.shape[0] * a.shape[1] ** 2, out.shape[3] * a.shape[2] ** 2, d, d
+            out.shape[0] * a.shape[1] * b.shape[1],
+            out.shape[3] * a.shape[2] * b.shape[2], d, d
         )
-    out = jnp.einsum("nltvseg,sfhnv->teflgh", q, jnp.conj(a))
-    return out.reshape(out.shape[0] * a.shape[1] ** 2, out.shape[3] * a.shape[2] ** 2)
+    out = jnp.einsum("nltvseg,sfhnv->teflgh", q, jnp.conj(b))
+    return out.reshape(out.shape[0] * a.shape[1] * b.shape[1],
+                       out.shape[3] * a.shape[2] * b.shape[2])
 
 
-def c2x2_ld(C, Tl, Tb, a, open_phys: bool = False, slice_phys: bool = False):
+def c2x2_ld(C, Tl, Tb, a, open_phys: bool = False, slice_phys: bool = False,
+            bra=None):
     """Lower-left corner from C(-1,1), T(-1,0), T(0,1), site
     (reference ctm_components.py:822-884 ``c2x2_LD_sl_c``)."""
     d = a.shape[0]
-    Tl4 = _split2(Tl, 2, a.shape[2])  # [t(up), x(down), w, v]
-    Tb4 = _split2(Tb, 0, a.shape[3])  # [m, n, y(left), r(right)]
+    b = a if bra is None else bra
+    Tl4 = _split4(Tl, 2, a.shape[2], b.shape[2])  # [t(up), x(down), w, v]
+    Tb4 = _split4(Tb, 0, a.shape[3], b.shape[3])  # [m, n, y(left), r(right)]
     q = jnp.einsum("xy,txwv->ytwv", C, Tl4)
     q = jnp.einsum("ytwv,mnyr->twvmnr", q, Tb4)
     if slice_phys:
@@ -175,12 +197,14 @@ def c2x2_ld(C, Tl, Tb, a, open_phys: bool = False, slice_phys: bool = False):
     # ket layer: a[s, u=e, l=w, d=m, r=g]
     q = jnp.einsum("twvmnr,sewmg->tvnrseg", q, a)
     if open_phys:
-        out = jnp.einsum("tvnrseg,zfvnh->tefrghsz", q, jnp.conj(a))
+        out = jnp.einsum("tvnrseg,zfvnh->tefrghsz", q, jnp.conj(b))
         return out.reshape(
-            out.shape[0] * a.shape[1] ** 2, out.shape[3] * a.shape[4] ** 2, d, d
+            out.shape[0] * a.shape[1] * b.shape[1],
+            out.shape[3] * a.shape[4] * b.shape[4], d, d
         )
-    out = jnp.einsum("tvnrseg,sfvnh->tefrgh", q, jnp.conj(a))
-    return out.reshape(out.shape[0] * a.shape[1] ** 2, out.shape[3] * a.shape[4] ** 2)
+    out = jnp.einsum("tvnrseg,sfvnh->tefrgh", q, jnp.conj(b))
+    return out.reshape(out.shape[0] * a.shape[1] * b.shape[1],
+                       out.shape[3] * a.shape[4] * b.shape[4])
 
 
 # --------------------------------------------------------------------------
@@ -188,28 +212,36 @@ def c2x2_ld(C, Tl, Tb, a, open_phys: bool = False, slice_phys: bool = False):
 # --------------------------------------------------------------------------
 
 
-def corner_lu(coord, sites, site_of, C, T, open_phys=False, slice_phys=False):
+def corner_lu(coord, sites, site_of, C, T, open_phys=False, slice_phys=False,
+              sites_bra=None):
     c = site_of(coord)
     return c2x2_lu(C[(c, (-1, -1))], T[(c, (0, -1))], T[(c, (-1, 0))], sites[c],
-                   open_phys, slice_phys)
+                   open_phys, slice_phys,
+                   bra=None if sites_bra is None else sites_bra[c])
 
 
-def corner_ru(coord, sites, site_of, C, T, open_phys=False, slice_phys=False):
+def corner_ru(coord, sites, site_of, C, T, open_phys=False, slice_phys=False,
+              sites_bra=None):
     c = site_of(coord)
     return c2x2_ru(C[(c, (1, -1))], T[(c, (1, 0))], T[(c, (0, -1))], sites[c],
-                   open_phys, slice_phys)
+                   open_phys, slice_phys,
+                   bra=None if sites_bra is None else sites_bra[c])
 
 
-def corner_rd(coord, sites, site_of, C, T, open_phys=False, slice_phys=False):
+def corner_rd(coord, sites, site_of, C, T, open_phys=False, slice_phys=False,
+              sites_bra=None):
     c = site_of(coord)
     return c2x2_rd(C[(c, (1, 1))], T[(c, (0, 1))], T[(c, (1, 0))], sites[c],
-                   open_phys, slice_phys)
+                   open_phys, slice_phys,
+                   bra=None if sites_bra is None else sites_bra[c])
 
 
-def corner_ld(coord, sites, site_of, C, T, open_phys=False, slice_phys=False):
+def corner_ld(coord, sites, site_of, C, T, open_phys=False, slice_phys=False,
+              sites_bra=None):
     c = site_of(coord)
     return c2x2_ld(C[(c, (-1, 1))], T[(c, (-1, 0))], T[(c, (0, 1))], sites[c],
-                   open_phys, slice_phys)
+                   open_phys, slice_phys,
+                   bra=None if sites_bra is None else sites_bra[c])
 
 
 # --------------------------------------------------------------------------
@@ -217,49 +249,49 @@ def corner_ld(coord, sites, site_of, C, T, open_phys=False, slice_phys=False):
 # --------------------------------------------------------------------------
 
 
-def halves_up(coord, sites, site_of, C, T):
+def halves_up(coord, sites, site_of, C, T, sites_bra=None):
     """R, Rt for the UP move; ``coord`` is the upper-right site."""
     x, y = coord
-    ru = corner_ru(coord, sites, site_of, C, T)
-    rd = corner_rd((x, y + 1), sites, site_of, C, T)
-    lu = corner_lu((x - 1, y), sites, site_of, C, T)
-    ld = corner_ld((x - 1, y + 1), sites, site_of, C, T)
+    ru = corner_ru(coord, sites, site_of, C, T, sites_bra=sites_bra)
+    rd = corner_rd((x, y + 1), sites, site_of, C, T, sites_bra=sites_bra)
+    lu = corner_lu((x - 1, y), sites, site_of, C, T, sites_bra=sites_bra)
+    ld = corner_ld((x - 1, y + 1), sites, site_of, C, T, sites_bra=sites_bra)
     R = ru @ rd  # [ru-left, rd-left]
     Rt = jnp.einsum("ab,ac->bc", lu, ld)  # [lu-right, ld-right]
     return R, Rt
 
 
-def halves_left(coord, sites, site_of, C, T):
+def halves_left(coord, sites, site_of, C, T, sites_bra=None):
     """R, Rt for the LEFT move; ``coord`` is the upper-left site."""
     x, y = coord
-    lu = corner_lu(coord, sites, site_of, C, T)
-    ru = corner_ru((x + 1, y), sites, site_of, C, T)
-    ld = corner_ld((x, y + 1), sites, site_of, C, T)
-    rd = corner_rd((x + 1, y + 1), sites, site_of, C, T)
+    lu = corner_lu(coord, sites, site_of, C, T, sites_bra=sites_bra)
+    ru = corner_ru((x + 1, y), sites, site_of, C, T, sites_bra=sites_bra)
+    ld = corner_ld((x, y + 1), sites, site_of, C, T, sites_bra=sites_bra)
+    rd = corner_rd((x + 1, y + 1), sites, site_of, C, T, sites_bra=sites_bra)
     R = lu @ ru  # [lu-down, ru-down]
     Rt = jnp.einsum("ab,cb->ac", ld, rd)  # [ld-up, rd-up]
     return R, Rt
 
 
-def halves_down(coord, sites, site_of, C, T):
+def halves_down(coord, sites, site_of, C, T, sites_bra=None):
     """R, Rt for the DOWN move; ``coord`` is the lower-left site."""
     x, y = coord
-    ld = corner_ld(coord, sites, site_of, C, T)
-    lu = corner_lu((x, y - 1), sites, site_of, C, T)
-    rd = corner_rd((x + 1, y), sites, site_of, C, T)
-    ru = corner_ru((x + 1, y - 1), sites, site_of, C, T)
+    ld = corner_ld(coord, sites, site_of, C, T, sites_bra=sites_bra)
+    lu = corner_lu((x, y - 1), sites, site_of, C, T, sites_bra=sites_bra)
+    rd = corner_rd((x + 1, y), sites, site_of, C, T, sites_bra=sites_bra)
+    ru = corner_ru((x + 1, y - 1), sites, site_of, C, T, sites_bra=sites_bra)
     R = jnp.einsum("ab,ac->bc", ld, lu)  # [ld-right, lu-right]
     Rt = jnp.einsum("ab,ca->bc", rd, ru)  # [rd-left, ru-left]
     return R, Rt
 
 
-def halves_right(coord, sites, site_of, C, T):
+def halves_right(coord, sites, site_of, C, T, sites_bra=None):
     """R, Rt for the RIGHT move; ``coord`` is the lower-right site."""
     x, y = coord
-    rd = corner_rd(coord, sites, site_of, C, T)
-    ld = corner_ld((x - 1, y), sites, site_of, C, T)
-    ru = corner_ru((x, y - 1), sites, site_of, C, T)
-    lu = corner_lu((x - 1, y - 1), sites, site_of, C, T)
+    rd = corner_rd(coord, sites, site_of, C, T, sites_bra=sites_bra)
+    ld = corner_ld((x - 1, y), sites, site_of, C, T, sites_bra=sites_bra)
+    ru = corner_ru((x, y - 1), sites, site_of, C, T, sites_bra=sites_bra)
+    lu = corner_lu((x - 1, y - 1), sites, site_of, C, T, sites_bra=sites_bra)
     R = jnp.einsum("ab,cb->ac", rd, ld)  # [rd-up, ld-up]
     Rt = jnp.einsum("ab,ca->bc", ru, lu)  # [ru-down, lu-down]
     return R, Rt

@@ -34,25 +34,27 @@ _REL_VECS = {
 }
 
 
-def _unfuse(P, chi, D):
-    return P.reshape(chi, D, D, -1)
+def _unfuse(P, chi, D, Db=None):
+    return P.reshape(chi, D, D if Db is None else Db, -1)
 
 
-def _absorb_up(c, sites, site_of, C, T, P, Pt):
+def _absorb_up(c, sites, site_of, C, T, P, Pt, sites_bra=None):
     """Absorb the top row (reference ctmrg.py:324-441)."""
     a = sites[c]
-    D = a.shape[1]
+    b = a if sites_bra is None else sites_bra[c]
     cl = site_of((c[0] - 1, c[1]))
     cr = site_of((c[0] + 1, c[1]))
     chi = C[(c, (1, -1))].shape[0]
+    bl = sites[cl] if sites_bra is None else sites_bra[cl]
+    br = sites[cr] if sites_bra is None else sites_bra[cr]
 
     C1, T1 = C[(c, (1, -1))], T[(c, (1, 0))]
     Tt = T[(c, (0, -1))]
     T2, C2 = T[(c, (-1, 0))], C[(c, (-1, -1))]
-    P2 = _unfuse(P[c], chi, sites[cl].shape[4])
-    Pt2 = _unfuse(Pt[c], chi, a.shape[2])
-    P1 = _unfuse(P[cr], chi, a.shape[4])
-    Pt1 = _unfuse(Pt[cr], chi, sites[cr].shape[2])
+    P2 = _unfuse(P[c], chi, sites[cl].shape[4], bl.shape[4])
+    Pt2 = _unfuse(Pt[c], chi, a.shape[2], b.shape[2])
+    P1 = _unfuse(P[cr], chi, a.shape[4], b.shape[4])
+    Pt1 = _unfuse(Pt[cr], chi, sites[cr].shape[2], br.shape[2])
 
     t = jnp.einsum("xy,ywb->xwb", C1, T1.reshape(chi, -1, chi))
     nC1 = jnp.einsum("xwq,xwb->qb", Pt1.reshape(chi, -1, Pt1.shape[-1]), t)
@@ -60,29 +62,31 @@ def _absorb_up(c, sites, site_of, C, T, P, Pt):
     t = jnp.einsum("xy,xdn->ydn", C2, T2)
     nC2 = jnp.einsum("ydn,ynq->dq", t, P2.reshape(chi, -1, P2.shape[-1]))
 
-    T4 = Tt.reshape(chi, D, D, chi)
+    T4 = Tt.reshape(chi, a.shape[1], b.shape[1], chi)
     z = jnp.einsum("xuvr,xlmq->uvrlmq", T4, Pt2)
     z = jnp.einsum("uvrlmq,sulef->vrmqsef", z, a)
-    z = jnp.einsum("vrmqsef,svmgw->rqefgw", z, jnp.conj(a))
+    z = jnp.einsum("vrmqsef,svmgw->rqefgw", z, jnp.conj(b))
     nT = jnp.einsum("rqefgw,rfwp->qegp", z, P1)
     nT = nT.reshape(nT.shape[0], -1, nT.shape[3])
     return nC1, nC2, nT
 
 
-def _absorb_left(c, sites, site_of, C, T, P, Pt):
+def _absorb_left(c, sites, site_of, C, T, P, Pt, sites_bra=None):
     a = sites[c]
-    D = a.shape[2]
+    b = a if sites_bra is None else sites_bra[c]
     cu = site_of((c[0], c[1] - 1))
     cd = site_of((c[0], c[1] + 1))
     chi = C[(c, (-1, -1))].shape[0]
+    bu = sites[cu] if sites_bra is None else sites_bra[cu]
+    bd = sites[cd] if sites_bra is None else sites_bra[cd]
 
     C1, T1 = C[(c, (-1, -1))], T[(c, (0, -1))]
     Tl = T[(c, (-1, 0))]
     T2, C2 = T[(c, (0, 1))], C[(c, (-1, 1))]
-    P2 = _unfuse(P[c], chi, sites[cd].shape[1])
-    Pt2 = _unfuse(Pt[c], chi, a.shape[3])
-    P1 = _unfuse(P[cu], chi, a.shape[1])
-    Pt1 = _unfuse(Pt[cu], chi, sites[cu].shape[3])
+    P2 = _unfuse(P[c], chi, sites[cd].shape[1], bd.shape[1])
+    Pt2 = _unfuse(Pt[c], chi, a.shape[3], b.shape[3])
+    P1 = _unfuse(P[cu], chi, a.shape[1], b.shape[1])
+    Pt1 = _unfuse(Pt[cu], chi, sites[cu].shape[3], bu.shape[3])
 
     t = jnp.einsum("xy,ymr->xmr", C1, T1)
     nC1 = jnp.einsum("xmq,xmr->qr", Pt1.reshape(chi, -1, Pt1.shape[-1]), t)
@@ -90,18 +94,18 @@ def _absorb_left(c, sites, site_of, C, T, P, Pt):
     t = jnp.einsum("xy,myr->xmr", C2, T2.reshape(-1, chi, chi))
     nC2 = jnp.einsum("xmq,xmr->qr", P2.reshape(chi, -1, P2.shape[-1]), t)
 
-    T4 = Tl.reshape(chi, chi, D, D)
+    T4 = Tl.reshape(chi, chi, a.shape[2], b.shape[2])
     z = jnp.einsum("tbwv,tucq->bwvucq", T4, P1)
     z = jnp.einsum("bwvucq,suwef->bvcqsef", z, a)
-    z = jnp.einsum("bvcqsef,scvgh->bqefgh", z, jnp.conj(a))
+    z = jnp.einsum("bvcqsef,scvgh->bqefgh", z, jnp.conj(b))
     nT = jnp.einsum("bqefgh,begp->qpfh", z, Pt2)
     nT = nT.reshape(nT.shape[0], nT.shape[1], -1)
     return nC1, nC2, nT
 
 
-def _absorb_down(c, sites, site_of, C, T, P, Pt):
+def _absorb_down(c, sites, site_of, C, T, P, Pt, sites_bra=None):
     a = sites[c]
-    D = a.shape[3]
+    b = a if sites_bra is None else sites_bra[c]
     cl = site_of((c[0] - 1, c[1]))
     cr = site_of((c[0] + 1, c[1]))
     chi = C[(c, (-1, 1))].shape[0]
@@ -109,10 +113,12 @@ def _absorb_down(c, sites, site_of, C, T, P, Pt):
     C1, T1 = C[(c, (-1, 1))], T[(c, (-1, 0))]
     Tb = T[(c, (0, 1))]
     T2, C2 = T[(c, (1, 0))], C[(c, (1, 1))]
-    P2 = _unfuse(P[c], chi, sites[cr].shape[2])
-    Pt2 = _unfuse(Pt[c], chi, a.shape[4])
-    P1 = _unfuse(P[cl], chi, a.shape[2])
-    Pt1 = _unfuse(Pt[cl], chi, sites[cl].shape[4])
+    bl = sites[cl] if sites_bra is None else sites_bra[cl]
+    br = sites[cr] if sites_bra is None else sites_bra[cr]
+    P2 = _unfuse(P[c], chi, sites[cr].shape[2], br.shape[2])
+    Pt2 = _unfuse(Pt[c], chi, a.shape[4], b.shape[4])
+    P1 = _unfuse(P[cl], chi, a.shape[2], b.shape[2])
+    Pt1 = _unfuse(Pt[cl], chi, sites[cl].shape[4], bl.shape[4])
 
     t = jnp.einsum("xy,txn->ytn", C1, T1)
     nC1 = jnp.einsum("ytn,ynq->tq", t, Pt1.reshape(chi, -1, Pt1.shape[-1]))
@@ -120,18 +126,18 @@ def _absorb_down(c, sites, site_of, C, T, P, Pt):
     t = jnp.einsum("xy,twx->ytw", C2, T2)
     nC2 = jnp.einsum("ytw,ywq->tq", t, P2.reshape(chi, -1, P2.shape[-1]))
 
-    T4 = Tb.reshape(D, D, chi, chi)
+    T4 = Tb.reshape(a.shape[3], b.shape[3], chi, chi)
     z = jnp.einsum("uvlr,lwcq->uvrwcq", T4, P1)
     z = jnp.einsum("uvrwcq,sewuf->vrcqsef", z, a)
-    z = jnp.einsum("vrcqsef,sgcvh->rqefgh", z, jnp.conj(a))
+    z = jnp.einsum("vrcqsef,sgcvh->rqefgh", z, jnp.conj(b))
     nT = jnp.einsum("rqefgh,rfhp->egqp", z, Pt2)
     nT = nT.reshape(-1, nT.shape[2], nT.shape[3])
     return nC1, nC2, nT
 
 
-def _absorb_right(c, sites, site_of, C, T, P, Pt):
+def _absorb_right(c, sites, site_of, C, T, P, Pt, sites_bra=None):
     a = sites[c]
-    D = a.shape[4]
+    b = a if sites_bra is None else sites_bra[c]
     cu = site_of((c[0], c[1] - 1))
     cd = site_of((c[0], c[1] + 1))
     chi = C[(c, (1, 1))].shape[0]
@@ -139,10 +145,12 @@ def _absorb_right(c, sites, site_of, C, T, P, Pt):
     C1, T1 = C[(c, (1, 1))], T[(c, (0, 1))]
     Tr = T[(c, (1, 0))]
     T2, C2 = T[(c, (0, -1))], C[(c, (1, -1))]
-    P2 = _unfuse(P[c], chi, sites[cu].shape[3])
-    Pt2 = _unfuse(Pt[c], chi, a.shape[1])
-    P1 = _unfuse(P[cd], chi, a.shape[3])
-    Pt1 = _unfuse(Pt[cd], chi, sites[cd].shape[1])
+    bu = sites[cu] if sites_bra is None else sites_bra[cu]
+    bd = sites[cd] if sites_bra is None else sites_bra[cd]
+    P2 = _unfuse(P[c], chi, sites[cu].shape[3], bu.shape[3])
+    Pt2 = _unfuse(Pt[c], chi, a.shape[1], b.shape[1])
+    P1 = _unfuse(P[cd], chi, a.shape[3], b.shape[3])
+    Pt1 = _unfuse(Pt[cd], chi, sites[cd].shape[1], bd.shape[1])
 
     t = jnp.einsum("xy,mly->xml", C1, T1.reshape(-1, chi, chi))
     nC1 = jnp.einsum("xmq,xml->ql", Pt1.reshape(chi, -1, Pt1.shape[-1]), t)
@@ -150,10 +158,10 @@ def _absorb_right(c, sites, site_of, C, T, P, Pt):
     t = jnp.einsum("xy,lmx->ylm", C2, T2)
     nC2 = jnp.einsum("ylm,ymq->lq", t, P2.reshape(chi, -1, P2.shape[-1]))
 
-    T4 = Tr.reshape(chi, D, D, chi)
+    T4 = Tr.reshape(chi, a.shape[4], b.shape[4], chi)
     z = jnp.einsum("twvb,tucq->wvbucq", T4, Pt2)
     z = jnp.einsum("wvbucq,suefw->vbcqsef", z, a)
-    z = jnp.einsum("vbcqsef,scghv->bqefgh", z, jnp.conj(a))
+    z = jnp.einsum("vbcqsef,scghv->bqefgh", z, jnp.conj(b))
     nT = jnp.einsum("bqefgh,bfhp->qegp", z, P1)
     nT = nT.reshape(nT.shape[0], -1, nT.shape[3])
     return nC1, nC2, nT
@@ -178,21 +186,23 @@ def _norm_tensors(tensors, norm_type="inf"):
     return tuple(out)
 
 
-def ctm_move(direction, sites, site_of, C, T, chi, proj_kwargs, norm_type="inf"):
+def ctm_move(direction, sites, site_of, C, T, chi, proj_kwargs, norm_type="inf",
+             sites_bra=None):
     """One directional move for every site (reference ctmrg.py:179-327).
 
     :return: updated (C, T) dicts with shifted coordinate assignment
     """
     P, Pt = {}, {}
     for c in sites:
-        P[c], Pt[c] = ctm_get_projectors(direction, c, sites, site_of, C, T, chi, **proj_kwargs)
+        P[c], Pt[c] = ctm_get_projectors(direction, c, sites, site_of, C, T, chi,
+                                         sites_bra=sites_bra, **proj_kwargs)
 
     absorb = _ABSORB[direction]
     rel = _REL_VECS[direction]
     newC = dict(C)
     newT = dict(T)
     for c in sites:
-        nC1, nC2, nT = absorb(c, sites, site_of, C, T, P, Pt)
+        nC1, nC2, nT = absorb(c, sites, site_of, C, T, P, Pt, sites_bra=sites_bra)
         nC1, nC2, nT = _norm_tensors((nC1, nC2, nT), norm_type)
         nc = site_of((c[0] - direction[0], c[1] - direction[1]))
         newC[(nc, rel["nC1"])] = nC1

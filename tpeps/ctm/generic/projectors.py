@@ -56,9 +56,10 @@ def ctm_get_projectors(
     C,
     T,
     chi: int,
+    sites_bra=None,
     **kwargs,
 ):
     """4x4 projectors for a directional move at ``coord``
     (reference ctm_projectors.py:14-64)."""
-    R, Rt = HALVES[direction](coord, sites, site_of, C, T)
+    R, Rt = HALVES[direction](coord, sites, site_of, C, T, sites_bra=sites_bra)
     return projectors_from_matrices(R, Rt, chi, **kwargs)
