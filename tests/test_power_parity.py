@@ -53,3 +53,68 @@ def test_power_tpu_path_energy_parity_with_symeig():
     e_se = float(model.energy_1x1_lowmem(a, env_se))
     e_pw = float(model.energy_1x1_lowmem(a, env_pw))
     assert abs(e_se - e_pw) < 1e-8, (e_se, e_pw)
+
+
+def test_mixed_precision_parity():
+    """run_ctmrg_tpu_mixed (f32 converge + f64 polish) must reproduce the
+    pure-f64 driver's energy to CTM-convergence accuracy on a gapped
+    state (the committed S=2 AKLT state; random near-critical states
+    have lambda2/lambda1 ~ 0.999 and converge too slowly for any CTM)."""
+    import os
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from refutil import REF_PATH, reference_available
+
+    if not reference_available():
+        import pytest
+
+        pytest.skip("reference checkout not available")
+
+    from tpeps.ctm.c4v.env import init_env
+    from tpeps.ctm.c4v.move_tpu import run_ctmrg_tpu, run_ctmrg_tpu_mixed
+    from tpeps.ipeps.ipeps import read_ipeps
+    from tpeps.ipeps.ipeps_c4v import symmetrize_c4v
+    from tpeps.models.akltS2 import AKLTS2_C4V_BIPARTITE
+
+    st = read_ipeps(os.path.join(REF_PATH, "test-input", "AKLT-S2_1x1.in"))
+    a = symmetrize_c4v(st.sites[(0, 0)], normalize=True)
+    chi = 24
+    env0 = init_env(a, chi, "CTMRG")
+    model = AKLTS2_C4V_BIPARTITE()
+
+    env64, n64, d64 = run_ctmrg_tpu(a, env0, max_iter=200, conv_tol=1e-10)
+    envmx, nmx, dmx = run_ctmrg_tpu_mixed(a, env0, max_iter=200, conv_tol=1e-10,
+                                          switch_tol=1e-5)
+    assert d64 < 1e-10 and dmx < 1e-10, (d64, dmx)
+    assert envmx.C.dtype == env64.C.dtype
+    e64 = float(model.energy_1x1(a, env64))
+    emx = float(model.energy_1x1(a, envmx))
+    assert abs(e64 - emx) < 1e-9, (e64, emx, n64, nmx)
+
+
+def test_batched_moves_equivalent():
+    """moves_per_sync=4 (lax.scan of 4 moves per dispatch) must land on
+    the same fixed point as single-move dispatch."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpeps.ctm.c4v.env import init_env
+    from tpeps.ctm.c4v.move_tpu import run_ctmrg_tpu
+    from tpeps.ipeps.ipeps_c4v import symmetrize_c4v
+    from tpeps.models.j1j2 import J1J2_C4V_BIPARTITE
+
+    rng = np.random.RandomState(2)
+    D, chi = 2, 16
+    a = symmetrize_c4v(jnp.asarray(rng.rand(2, D, D, D, D) - 0.5), normalize=True)
+    env0 = init_env(a, chi, "CTMRG")
+    model = J1J2_C4V_BIPARTITE(j1=1.0, j2=0.0)
+
+    env1, n1, d1 = run_ctmrg_tpu(a, env0, max_iter=80, conv_tol=1e-10,
+                                 moves_per_sync=1)
+    env4, n4, d4 = run_ctmrg_tpu(a, env0, max_iter=80, conv_tol=1e-10,
+                                 moves_per_sync=4)
+    e1 = float(model.energy_1x1_lowmem(a, env1))
+    e4 = float(model.energy_1x1_lowmem(a, env4))
+    assert abs(e1 - e4) < 1e-9, (e1, e4, n1, n4)

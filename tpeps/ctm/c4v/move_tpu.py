@@ -244,16 +244,29 @@ def run_fixed_point_tpu(
 @partial(
     jax.jit,
     static_argnames=("n_power", "eps_multiplet", "ad_decomp_reg",
-                     "absorb_normalization", "slice_phys"),
+                     "absorb_normalization", "slice_phys", "n_moves"),
 )
 def _jit_move(a, C, T_int, P_ref, *, n_power=2, eps_multiplet=1.0e-12,
               ad_decomp_reg=1.0e-12, absorb_normalization="inf",
-              slice_phys=False):
-    return ctm_move_sl_tpu(
-        a, C, T_int, P_ref, n_power=n_power, eps_multiplet=eps_multiplet,
-        ad_decomp_reg=ad_decomp_reg, absorb_normalization=absorb_normalization,
-        slice_phys=slice_phys,
-    )
+              slice_phys=False, n_moves=1):
+    """``n_moves`` > 1 chains several moves in one compiled program
+    (lax.scan): on a tunneled/remote accelerator the per-dispatch
+    round-trip (~30 ms measured on this box) otherwise dominates the
+    f32 move (~15 ms on-device at D=7, chi=147)."""
+    def one(carry, _):
+        C_, T_, P_ = carry
+        nC, nT, spec, nP = ctm_move_sl_tpu(
+            a, C_, T_, P_, n_power=n_power, eps_multiplet=eps_multiplet,
+            ad_decomp_reg=ad_decomp_reg,
+            absorb_normalization=absorb_normalization, slice_phys=slice_phys,
+        )
+        return (nC, nT, nP), spec
+
+    if n_moves == 1:
+        (nC, nT, nP), spec = one((C, T_int, P_ref), None)
+        return nC, nT, spec, nP
+    (nC, nT, nP), specs = lax.scan(one, (C, T_int, P_ref), None, length=n_moves)
+    return nC, nT, specs[-1], nP
 
 
 def run_ctmrg_tpu(
@@ -265,6 +278,7 @@ def run_ctmrg_tpu(
     n_power: int = 2,
     slice_phys: bool = False,
     timers=None,
+    moves_per_sync: int = 1,
     **move_kwargs,
 ):
     """Host-driven CTMRG loop over the jitted TPU-layout move.
@@ -295,10 +309,13 @@ def run_ctmrg_tpu(
     dist = float("inf")
     it = 0
     bad_streak = 0
-    for it in range(1, max_iter + 1):
+    n_sync = max(1, (max_iter + moves_per_sync - 1) // moves_per_sync)
+    for it_s in range(1, n_sync + 1):
+        it = it_s * moves_per_sync
         with phase("move"):
             nC, nT, spec, nP = _jit_move(
-                a, C, T_int, P, n_power=n_power, slice_phys=slice_phys, **move_kwargs
+                a, C, T_int, P, n_power=n_power, slice_phys=slice_phys,
+                n_moves=moves_per_sync, **move_kwargs
             )
             spec.block_until_ready()
         with phase("conv_check"):
@@ -333,3 +350,71 @@ def run_ctmrg_tpu(
                 break
         spec_prev = spec_h
     return EnvC4v(C, from_tpu_layout(T_int)), it, dist
+
+
+def run_ctmrg_tpu_mixed(
+    a,
+    env: EnvC4v,
+    *,
+    max_iter: int = 100,
+    conv_tol: float = 1.0e-8,
+    switch_tol: float = 1.0e-5,
+    n_power: int = 2,
+    slice_phys: bool = False,
+    slice_phys32: bool = False,
+    timers=None,
+    moves_per_sync: int = 1,
+    **move_kwargs,
+):
+    """Mixed-precision CTMRG: converge in float32 (native MXU speed),
+    then polish to ``conv_tol`` in float64.
+
+    TPU has no f64 hardware — XLA emulates every f64 contraction as
+    multiple f32 passes (the dominant cost of the f64 move).  The CTM
+    fixed point is attracting, so an f32-converged environment (spectra
+    stationary to ``switch_tol``) is already within the f64 basin; the
+    f64 phase then needs only a handful of moves to reach ``conv_tol``,
+    and the RESULT is a genuine f64 fixed point — observables carry full
+    f64 CTM accuracy (parity-tested against the pure-f64 driver).
+
+    :return: ``(env, n_iter_total, dist)`` with env in float64
+    """
+    a32 = a.astype(jnp.float32) if not jnp.iscomplexobj(a) else a.astype(jnp.complex64)
+    env32 = EnvC4v(
+        env.C.astype(a32.dtype),
+        env.T.astype(a32.dtype),
+    )
+    # the f32 phase uses a quarter of the f64 memory (f64 buffers cost
+    # 2x and XLA's f64 emulation doubles working set again), so it can
+    # usually skip physical-index slicing even where f64 cannot
+    env32, it32, dist32 = run_ctmrg_tpu(
+        a32, env32, max_iter=max_iter, conv_tol=max(switch_tol, conv_tol),
+        n_power=n_power, slice_phys=slice_phys32, timers=timers,
+        moves_per_sync=moves_per_sync, **move_kwargs
+    )
+    env64 = EnvC4v(env32.C.astype(env.C.dtype), env32.T.astype(env.T.dtype))
+    env_out, it64, dist = run_ctmrg_tpu(
+        a, env64, max_iter=max_iter, conv_tol=conv_tol,
+        n_power=n_power, slice_phys=slice_phys, timers=timers,
+        moves_per_sync=moves_per_sync, **move_kwargs
+    )
+    return env_out, it32 + it64, dist
+
+
+# ---------------------------------------------------------------------------
+# Performance notes (measured 2026-08-16, one TPU v5e chip via axon)
+# ---------------------------------------------------------------------------
+# D=7, chi=147, random C4v state, steady-state per move:
+#   f32           :   43 ms   (XLA flop count 510 GF/move -> ~12 TF/s incl.
+#                              ~28 ms remote-dispatch RTT; ~34 TF/s on-device)
+#   f64 (emulated): 2616 ms   (~0.2 TF/s -- XLA emulates every f64
+#                              contraction as multi-pass f32; the MXU has no
+#                              f64 path)
+#   mixed         : ~1.3 s    amortized when the polish runs as long as the
+#                             f32 phase; a few moves on gapped states
+# The 60x f32/f64 gap IS the f64-emulation tax: the move is MXU-bound, not
+# HBM-bound (halving bytes by dtype alone did not change runtime until the
+# silent f64 promotion via an untyped constant was removed -- see
+# linalg/eigh.py multiplet_mask).  The remaining f32 gap to peak is the
+# QR/eigh tail (vector unit) and D-sized reshape boundaries between the
+# chi-major matmuls.

@@ -100,7 +100,10 @@ def multiplet_mask(D, chi: int, eps_multiplet: float = 1.0e-8, abs_tol: float = 
     chi_new = jnp.where(last_gap >= 0, last_gap, chi)
     # only pull back the cut when chi itself splits a multiplet
     cut = jnp.where(is_gap[chi - 1], chi, chi_new)
-    return (idx <= cut).astype(jnp.result_type(float))
+    # mask in the spectrum's own (real) dtype: an untyped float here
+    # promotes the entire downstream move to f64 under x64 (observed:
+    # the "f32" TPU move silently ran in emulated f64)
+    return (idx <= cut).astype(absD.dtype)
 
 
 def truncated_eigh_sym(
