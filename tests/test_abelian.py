@@ -245,3 +245,157 @@ def test_golden_u1_d3_bipartite():
         assert abs(abs(complex(od[f"sz{c}"]).real) - 0.37136219678664095) < 1e-6
         assert abs(od[f"SS2x1{c}"] - (-0.33229727696449596)) < 1e-6
         assert abs(od[f"SS1x2{c}"] - (-0.3322972769393827)) < 1e-6
+
+
+def test_kagome_abelian_rdms_match_dense():
+    """Abelian kagome RDMs == dense kagome RDMs on the same (random U(1))
+    iPESS state with PBC-init environments (machine precision: the envs
+    differ only by the fused-basis ordering = a chi-leg gauge)."""
+    from tpeps.ctm.generic import env as env_d
+    from tpeps.ctm.kagome import rdm_kagome as rdm_dense
+    from tpeps.ctm.kagome_abelian import rdm_kagome as rdm_ab
+    from tpeps.ipeps.ipeps import IPEPS
+    from tpeps.ipeps.ipess_kagome_abelian import IPESS_KAGOME_ABELIAN
+
+    key = jax.random.PRNGKey(3)
+    phys = leg({-1: 1, 1: 1})
+    bond = leg({-1: 1, 0: 1, 1: 1})
+
+    def rnd(sub, sig, legs_, n=0):
+        return AbelianTensor.random(sub, "U1", sig, legs_, n=n, backend="np")
+
+    keys = jax.random.split(key, 5)
+    td = {
+        "T_u": rnd(keys[0], (-1, 1, 1), (bond, bond, bond)),
+        "T_d": rnd(keys[1], (1, -1, -1), (bond, bond, bond)),
+        "B_c": rnd(keys[2], (1, -1, 1), (phys, bond, bond), n=1),
+        "B_b": rnd(keys[3], (1, 1, -1), (phys, bond, bond), n=1),
+        "B_a": rnd(keys[4], (1, 1, -1), (phys, bond, bond), n=-1),
+    }
+    st = IPESS_KAGOME_ABELIAN("U1", td)
+    fused = st.fused()
+
+    # dense oracle: SAME tensors densified; phys fused by plain reshape
+    a7d = st.to_dense7()[(0, 0)]
+    d = a7d.shape[0]
+    D = a7d.shape[3]
+    a5d = a7d.reshape(d ** 3, D, D, D, D)
+    stD = IPEPS({(0, 0): jnp.asarray(a5d / jnp.abs(a5d).max())})
+
+    from tpeps.ctm.generic_abelian import env as env_ab
+
+    envA = env_ab.init_env(fused, 16)
+    envD = env_d.init_env(stD, 16, "CTMRG")
+
+    # 1x1 down-triangle RDM
+    rA = rdm_ab.rdm1x1_kagome((0, 0), st, envA)
+    rD = rdm_dense.rdm1x1_kagome((0, 0), stD.sites, stD.vertexToSite,
+                                 envD.C, envD.T, d)
+    assert np.abs(np.asarray(rA) - np.asarray(rD)).max() < 1e-10
+
+    # up-triangle RDM over the 2x2 patch
+    uA = rdm_ab.rdm2x2_up_triangle_open((0, 0), st, envA)
+    uD = rdm_dense.rdm2x2_up_triangle_open((0, 0), stD.sites, stD.vertexToSite,
+                                           envD.C, envD.T, d)
+    assert np.abs(np.asarray(uA) - np.asarray(uD)).max() < 1e-10
+
+    # down-triangle operator expectation (normalized)
+    rng = np.random.default_rng(0)
+    op = rng.standard_normal((d ** 3, d ** 3))
+    op = op + op.T
+    vA, nA_ = rdm_ab.rdm2x2_dn_triangle_with_operator((0, 0), st, envA, jnp.asarray(op))
+    vD, nD_ = rdm_dense.rdm2x2_dn_triangle_with_operator(
+        (0, 0), stD.sites, stD.vertexToSite, envD.C, envD.T, jnp.asarray(op), d)
+    assert abs(complex(vA) - complex(vD)) < 1e-10
+
+    # 1x1 trace with operator (normalized ratio)
+    tA_op = rdm_ab.trace1x1_dn_kagome((0, 0), st, envA, jnp.asarray(op))
+    tA_id = rdm_ab.trace1x1_dn_kagome((0, 0), st, envA, jnp.asarray(np.eye(d ** 3)))
+    tD_op = rdm_dense.trace1x1_dn_kagome((0, 0), stD.sites, stD.vertexToSite,
+                                         envD.C, envD.T, jnp.asarray(op), d)
+    tD_id = rdm_dense.trace1x1_dn_kagome((0, 0), stD.sites, stD.vertexToSite,
+                                         envD.C, envD.T, jnp.asarray(np.eye(d ** 3)), d)
+    assert abs(complex(tA_op / tA_id) - complex(tD_op / tD_id)) < 1e-10
+
+
+def test_kagome_u1_model_converged_energy_matches_dense():
+    """KAGOME_U1 (abelian adapter) energy through a CONVERGED abelian CTM
+    == dense S_HALF_KAGOME energy through the converged dense CTM on the
+    densified state."""
+    from tpeps.ctm.generic import ctmrg as ctmrg_d
+    from tpeps.ctm.generic import env as env_d
+    from tpeps.ctm.generic_abelian import ctmrg as ctmrg_a
+    from tpeps.ctm.generic_abelian import env as env_a
+    from tpeps.ipeps.ipeps import IPEPS
+    from tpeps.ipeps.ipess_kagome_abelian import IPESS_KAGOME_ABELIAN
+    from tpeps.models.abelian.kagome_u1 import KAGOME_U1
+    from tpeps.models.spin_half_kagome import S_HALF_KAGOME
+    from tpeps.ipeps.ipeps_kagome import IPEPS_KAGOME
+
+    key = jax.random.PRNGKey(9)
+    phys = leg({-1: 1, 1: 1})
+    bond = leg({0: 1, 1: 1})
+
+    def rnd(sub, sig, legs_, n=0):
+        return AbelianTensor.random(sub, "U1", sig, legs_, n=n, backend="np")
+
+    keys = jax.random.split(key, 5)
+    td = {
+        "T_u": rnd(keys[0], (-1, 1, 1), (bond, bond, bond)),
+        "T_d": rnd(keys[1], (1, -1, -1), (bond, bond, bond)),
+        "B_c": rnd(keys[2], (1, -1, 1), (phys, bond, bond), n=1),
+        "B_b": rnd(keys[3], (1, 1, -1), (phys, bond, bond), n=1),
+        "B_a": rnd(keys[4], (1, 1, -1), (phys, bond, bond), n=-1),
+    }
+    st = IPESS_KAGOME_ABELIAN("U1", td)
+    fused = st.fused()
+
+    a7d = st.to_dense7()[(0, 0)]
+    d = a7d.shape[0]
+    D = a7d.shape[3]
+    a5d = np.asarray(a7d).reshape(d ** 3, D, D, D, D)
+    stD = IPEPS_KAGOME({(0, 0): jnp.asarray(a5d / np.abs(a5d).max())}, lX=1, lY=1)
+
+    cfg = CtmArgs(ctm_max_iter=60, ctm_conv_tol=1e-10)
+    envA, _ = ctmrg_a.run(fused, env_a.init_env(fused, 12), cfg)
+    envD, _ = ctmrg_d.run(stD, env_d.init_env(stD, 12, "CTMRG"), cfg)
+
+    model_a = KAGOME_U1(j1=1.0)
+    model_d = S_HALF_KAGOME(j1=1.0)
+    eA = float(model_a.energy_per_site(st, envA))
+    eD = float(model_d.energy_per_site(stD, envD))
+    assert abs(eA - eD) < 1e-7, (eA, eD)
+
+    # SU(3)-style adapter path smoke (same RDM plumbing, different model)
+    from tpeps.models.abelian.su3_kagome import KAGOME_SU3_U1xU1  # noqa: F401
+
+
+def test_densify_bridge_triangular():
+    """densify(state, env): the dense J1-J2-J4 evaluation over the
+    converged ABELIAN environment must match the all-dense pipeline."""
+    from tpeps.ctm.generic import ctmrg as ctmrg_d
+    from tpeps.ctm.generic import env as env_d
+    from tpeps.ctm.generic_abelian import ctmrg as ctmrg_a
+    from tpeps.ctm.generic_abelian import env as env_a
+    from tpeps.ipeps.ipeps import IPEPS
+    from tpeps.ipeps.ipeps_abelian import IPEPS_ABELIAN
+    from tpeps.models.abelian.spin_triangular import J1J2J4_1SITE_ABELIAN
+    from tpeps.models.spin_triangular import J1J2J4_1SITE
+
+    key = jax.random.PRNGKey(12)
+    phys = leg({-1: 1, 1: 1})
+    aux = leg({-1: 1, 0: 1, 1: 1})
+    a = AbelianTensor.random(key, "U1", (1, 1, 1, -1, -1),
+                             (phys, aux, aux, aux, aux), n=1, backend="np")
+    st = IPEPS_ABELIAN("U1", {(0, 0): a})
+    stD = IPEPS({(0, 0): a.to_dense()})
+
+    cfg = CtmArgs(ctm_max_iter=60, ctm_conv_tol=1e-10)
+    envA, _ = ctmrg_a.run(st, env_a.init_env(st, 12), cfg)
+    envD, _ = ctmrg_d.run(stD, env_d.init_env(stD, 12, "CTMRG"), cfg)
+
+    model_a = J1J2J4_1SITE_ABELIAN(j1=1.0, j2=0.2, j4=0.1)
+    model_d = J1J2J4_1SITE(j1=1.0, j2=0.2, j4=0.1)
+    eA = float(model_a.energy_per_site(st, envA))
+    eD = float(model_d.energy_per_site(stD, envD))
+    assert abs(eA - eD) < 1e-7, (eA, eD)
