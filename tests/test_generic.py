@@ -272,3 +272,36 @@ def test_eh_spec_ttensor_matches_dense():
         # compare moduli (phases/gauge may differ in degenerate pairs)
         assert np.abs(np.abs(w) - np.abs(w_dense[:n])).max() < 1e-8, L
         assert np.abs(np.sort(w.real) - np.sort(w_dense[:n].real)).max() < 1e-7, L
+
+
+def test_dl_engine_matches_sl():
+    """The explicit double-layer CTM (ctm/generic/dl.py) must reproduce
+    the single-layer engine's converged observables on a bosonic state."""
+    import jax
+
+    from tpeps.ctm.generic import ctmrg as ctmrg_sl
+    from tpeps.ctm.generic import rdm as rdm_sl
+    from tpeps.ctm.generic.dl import dl_of, init_env_dl, rdm1x1_dl, run_dl
+    from tpeps.ctm.generic.env import init_env
+    from tpeps.ipeps.ipeps import IPEPS
+
+    key = jax.random.PRNGKey(4)
+    a = jax.random.uniform(key, (2, 2, 2, 2, 2), dtype=jnp.float64) - 0.5
+    st = IPEPS({(0, 0): a})
+    cfg = CtmArgs(ctm_max_iter=80, ctm_conv_tol=1e-11)
+
+    env_s, _ = ctmrg_sl.run(st, init_env(st, 12, "CTMRG"), cfg)
+    rho_s = rdm_sl.rdm1x1((0, 0), st.sites, st.vertexToSite, env_s.C, env_s.T)
+
+    E = dl_of(a)
+    env_d, hist = run_dl(E, init_env_dl(E, 12), cfg)
+    # open double tensor for the measurement
+    E_open = jnp.einsum("suldr,zabce->szualbdcre", a, jnp.conj(a))
+    sh = E_open.shape
+    E_open = E_open.reshape(sh[0], sh[1], sh[2] * sh[3], sh[4] * sh[5],
+                            sh[6] * sh[7], sh[8] * sh[9])
+    rho_d = rdm1x1_dl(E_open, env_d)
+    rho_d = rho_d / jnp.trace(rho_d)
+    rho_s = rho_s / jnp.trace(rho_s)
+    assert np.abs(np.asarray(rho_d) - np.asarray(rho_s)).max() < 1e-8, (
+        np.asarray(rho_d), np.asarray(rho_s))

@@ -123,6 +123,14 @@ class CtmArgs:
     ad_decomp_reg: float = 1.0e-12
     ctm_move_sequence: tuple = ((0, -1), (-1, 0), (0, 1), (1, 0))
     ctm_force_dl: bool = False
+    # FPCM acceleration (reference config.py:376-379; consumed by
+    # tpeps/ctm/c4v/fpcm.py:fpcm_move_sl): standard moves for
+    # fpcm_init_iter iterations, then an FPCM move every fpcm_freq
+    # iterations (-1 = never)
+    fpcm_init_iter: int = 1
+    fpcm_freq: int = -1
+    fpcm_isogauge_tol: float = 1.0e-14
+    fpcm_fpt_tol: float = 1.0e-8
     fwd_checkpoint_move: bool = True
     ctm_conv_check: str = "spec"  # "spec" | "rdm2x1" (c4v)
     grad_mode: str = "implicit"  # "implicit" | "scan"

@@ -1,0 +1,228 @@
+"""Double-layer (dl) generic CTM: moves over an explicit 4-leg double
+tensor ``E[U, L, D, R]`` with fused (ket, bra) pair legs.
+
+Counterpart of the reference's ``ctm_force_dl`` mode
+(ctm/generic/ctmrg.py:51-61 builds ``stateDL`` and runs the same
+moves).  The sl engine contracts the two layers lazily; this engine
+takes E as *data* — which is what fermionic double layers need: their
+(ket, bra) pairs carry swap-gate sign structure that does not factor
+into the layers (tpeps/models/fermion/NOTES.md).
+
+1x1-cell driver (the fermionic honeycomb states are 1x1); E legs are
+(up, left, down, right), each of fused dimension Dk*Db, ket-major.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .env import ENV, _zero_pad_into
+from .projectors import projectors_from_matrices
+
+_C = (0, 0)
+
+
+def dl_of(a, b=None):
+    """Naive bosonic double layer ``E[(uu'),(ll'),(dd'),(rr')]`` of
+    ``a[s,u,l,d,r]`` (bra = conj(b or a))."""
+    b = a if b is None else b
+    E = jnp.einsum("suldr,sabce->ualbdcre", a, jnp.conj(b))
+    sh = E.shape
+    return E.reshape(sh[0] * sh[1], sh[2] * sh[3], sh[4] * sh[5], sh[6] * sh[7])
+
+
+def pair_trace_vec(Dk, Db=None, dtype=jnp.float64):
+    """delta vector over a fused (ket, bra) pair leg."""
+    Db = Dk if Db is None else Db
+    return jnp.eye(Dk, Db, dtype=dtype).reshape(-1)
+
+
+def init_env_dl(E, chi: int, vecs=None) -> ENV:
+    """PBC-traced environment from E: outward pair legs closed with the
+    delta pairing (mirror of env.init_from_ipeps_pbc)."""
+    dtype = E.dtype
+    if vecs is None:
+        D2 = E.shape[0]
+        Dk = int(round(D2 ** 0.5))
+        v = pair_trace_vec(Dk, dtype=dtype)
+        vecs = (v, v, v, v)  # per leg u, l, d, r
+    vu, vl, vd, vr = vecs
+    env = ENV(chi)
+
+    def n(t):
+        return t / jax.lax.stop_gradient(jnp.abs(t).max())
+
+    env.C[(_C, (-1, -1))] = _zero_pad_into(
+        n(jnp.einsum("uldr,u,l->dr", E, vu, vl)), (chi, chi), dtype)
+    env.C[(_C, (1, -1))] = _zero_pad_into(
+        n(jnp.einsum("uldr,u,r->ld", E, vu, vr)), (chi, chi), dtype)
+    env.C[(_C, (1, 1))] = _zero_pad_into(
+        n(jnp.einsum("uldr,d,r->ul", E, vd, vr)), (chi, chi), dtype)
+    env.C[(_C, (-1, 1))] = _zero_pad_into(
+        n(jnp.einsum("uldr,l,d->ur", E, vl, vd)), (chi, chi), dtype)
+    env.T[(_C, (0, -1))] = _zero_pad_into(
+        n(jnp.einsum("uldr,u->ldr", E, vu)), (chi, E.shape[2], chi), dtype)
+    env.T[(_C, (-1, 0))] = _zero_pad_into(
+        n(jnp.einsum("uldr,l->udr", E, vl)), (chi, chi, E.shape[3]), dtype)
+    env.T[(_C, (0, 1))] = _zero_pad_into(
+        n(jnp.einsum("uldr,d->ulr", E, vd)), (E.shape[0], chi, chi), dtype)
+    env.T[(_C, (1, 0))] = _zero_pad_into(
+        n(jnp.einsum("uldr,r->uld", E, vr)), (chi, E.shape[1], chi), dtype)
+    return env
+
+
+# --------------------------------------------------------------- corners
+# conventions mirror components.py:
+#   c2x2_lu: [(down-chi . d-pair), (right-chi . r-pair)]
+#   c2x2_ru: [(left-chi . l-pair), (down-chi . d-pair)]
+#   c2x2_rd: [(up-chi . u-pair),   (left-chi . l-pair)]
+#   c2x2_ld: [(up-chi . u-pair),   (right-chi . r-pair)]
+
+
+def _corners(E, C, T):
+    lu = jnp.einsum("xy,ymi->xmi", C[(_C, (-1, -1))], T[(_C, (0, -1))])
+    lu = jnp.einsum("xmi,xjl->mijl", lu, T[(_C, (-1, 0))])
+    lu = jnp.einsum("mijl,mldr->jdir", lu, E)
+    lu = lu.reshape(lu.shape[0] * lu.shape[1], lu.shape[2] * lu.shape[3])
+
+    ru = jnp.einsum("xy,ymb->xmb", C[(_C, (1, -1))], T[(_C, (1, 0))])
+    ru = jnp.einsum("xmb,lnx->mbln", ru, T[(_C, (0, -1))])
+    ru = jnp.einsum("mbln,nkdm->lkbd", ru, E)
+    ru = ru.reshape(ru.shape[0] * ru.shape[1], ru.shape[2] * ru.shape[3])
+
+    rd = jnp.einsum("xy,mly->xml", C[(_C, (1, 1))], T[(_C, (0, 1))])
+    rd = jnp.einsum("xml,tnx->mltn", rd, T[(_C, (1, 0))])
+    rd = jnp.einsum("mltn,ukmn->tulk", rd, E)
+    rd = rd.reshape(rd.shape[0] * rd.shape[1], rd.shape[2] * rd.shape[3])
+
+    ld = jnp.einsum("xy,txw->ytw", C[(_C, (-1, 1))], T[(_C, (-1, 0))])
+    ld = jnp.einsum("ytw,myr->twmr", ld, T[(_C, (0, 1))])
+    ld = jnp.einsum("twmr,uwmk->turk", ld, E)
+    ld = ld.reshape(ld.shape[0] * ld.shape[1], ld.shape[2] * ld.shape[3])
+    return lu, ru, rd, ld
+
+
+def ctm_move_dl(E, env: ENV, chi: int, proj_kwargs):
+    """One full 4-direction sweep for the 1x1 dl network.  With C4-
+    asymmetric E the four directional moves use the same projector
+    construction as the sl engine (HALVES composition of the corners)."""
+    C, T = dict(env.C), dict(env.T)
+    D2u, D2l, D2d, D2r = E.shape
+
+    for direction in ((0, -1), (-1, 0), (0, 1), (1, 0)):
+        lu, ru, rd, ld = _corners(E, C, T)
+        if direction == (0, -1):
+            R = ru @ rd
+            Rt = jnp.einsum("ab,ac->bc", lu, ld)
+        elif direction == (-1, 0):
+            R = lu @ ru
+            Rt = jnp.einsum("ab,cb->ac", ld, rd)
+        elif direction == (0, 1):
+            R = jnp.einsum("ab,ac->bc", ld, lu)
+            Rt = jnp.einsum("ab,ca->bc", rd, ru)
+        else:
+            R = jnp.einsum("ab,cb->ac", rd, ld)
+            Rt = jnp.einsum("ab,ca->bc", ru, lu)
+        P, Pt = projectors_from_matrices(R, Rt, chi, **proj_kwargs)
+
+        if direction == (0, -1):
+            chi0 = C[(_C, (1, -1))].shape[0]
+            P4 = P.reshape(chi0, D2r, -1)
+            Pt4 = Pt.reshape(chi0, D2l, -1)
+            t = jnp.einsum("xy,ywb->xwb", C[(_C, (1, -1))], T[(_C, (1, 0))])
+            nC1 = jnp.einsum("xwq,xwb->qb", Pt4, t)
+            t = jnp.einsum("xy,xdn->ydn", C[(_C, (-1, -1))], T[(_C, (-1, 0))])
+            nC2 = jnp.einsum("ydn,ynq->dq", t, P4)
+            z = jnp.einsum("xur,xlq->urlq", T[(_C, (0, -1))], Pt4)
+            z = jnp.einsum("urlq,uldm->rqdm", z, E)
+            nT = jnp.einsum("rqdm,rmp->qdp", z, P4)
+            C[(_C, (1, -1))], C[(_C, (-1, -1))] = _n(nC1), _n(nC2)
+            T[(_C, (0, -1))] = _n(nT)
+        elif direction == (-1, 0):
+            chi0 = C[(_C, (-1, -1))].shape[0]
+            P4 = P.reshape(chi0, D2d, -1)
+            Pt4 = Pt.reshape(chi0, D2u, -1)
+            t = jnp.einsum("xy,ymr->xmr", C[(_C, (-1, -1))], T[(_C, (0, -1))])
+            nC1 = jnp.einsum("xmq,xmr->qr", Pt4, t)
+            t = jnp.einsum("xy,myr->xmr", C[(_C, (-1, 1))], T[(_C, (0, 1))])
+            nC2 = jnp.einsum("xmq,xmr->qr", P4, t)
+            z = jnp.einsum("tbw,tuq->bwuq", T[(_C, (-1, 0))], P4)
+            z = jnp.einsum("bwuq,uwdr->bqdr", z, E)
+            nT = jnp.einsum("bqdr,bdp->qpr", z, Pt4)
+            C[(_C, (-1, -1))], C[(_C, (-1, 1))] = _n(nC1), _n(nC2)
+            T[(_C, (-1, 0))] = _n(nT)
+        elif direction == (0, 1):
+            chi0 = C[(_C, (-1, 1))].shape[0]
+            P4 = P.reshape(chi0, D2r, -1)
+            Pt4 = Pt.reshape(chi0, D2l, -1)
+            t = jnp.einsum("xy,txn->ytn", C[(_C, (-1, 1))], T[(_C, (-1, 0))])
+            nC1 = jnp.einsum("ytn,ynq->tq", t, Pt4)
+            t = jnp.einsum("xy,twx->ytw", C[(_C, (1, 1))], T[(_C, (1, 0))])
+            nC2 = jnp.einsum("ytw,ywq->tq", t, P4)
+            z = jnp.einsum("mlr,lwq->mrwq", T[(_C, (0, 1))], P4)
+            z = jnp.einsum("mrwq,uwmc->rquc", z, E)
+            nT = jnp.einsum("rquc,rcp->uqp", z, Pt4)
+            C[(_C, (-1, 1))], C[(_C, (1, 1))] = _n(nC1), _n(nC2)
+            T[(_C, (0, 1))] = _n(nT)
+        else:
+            chi0 = C[(_C, (1, 1))].shape[0]
+            P4 = P.reshape(chi0, D2u, -1)
+            Pt4 = Pt.reshape(chi0, D2d, -1)
+            t = jnp.einsum("xy,mly->xml", C[(_C, (1, 1))], T[(_C, (0, 1))])
+            nC1 = jnp.einsum("xmq,xml->ql", Pt4, t)
+            t = jnp.einsum("xy,lmx->ylm", C[(_C, (1, -1))], T[(_C, (0, -1))])
+            nC2 = jnp.einsum("ylm,ymq->lq", t, P4)
+            z = jnp.einsum("twb,tuq->wbuq", T[(_C, (1, 0))], Pt4)
+            z = jnp.einsum("wbuq,uldw->bqld", z, E)
+            nT = jnp.einsum("bqld,bdp->qlp", z, P4)
+            C[(_C, (1, 1))], C[(_C, (1, -1))] = _n(nC1), _n(nC2)
+            T[(_C, (1, 0))] = _n(nT)
+
+    out = ENV(env.chi)
+    out.C, out.T = C, T
+    return out
+
+
+def _n(t):
+    return t / jax.lax.stop_gradient(jnp.abs(t).max())
+
+
+def run_dl(E, env: ENV, ctm_cfg):
+    """Host loop to convergence (corner-spectra criterion)."""
+    proj_kwargs = dict(
+        svd_reltol=ctm_cfg.projector_svd_reltol,
+        eps_multiplet=ctm_cfg.projector_eps_multiplet,
+        multiplet_abstol=ctm_cfg.projector_multiplet_abstol,
+        ad_decomp_reg=ctm_cfg.ad_decomp_reg,
+    )
+    chi = env.chi
+    spec_prev = None
+    history = {"conv_crit": []}
+    for _ in range(ctm_cfg.ctm_max_iter):
+        env = ctm_move_dl(E, env, chi, proj_kwargs)
+        specs = [np.asarray(jnp.linalg.svd(env.C[k], compute_uv=False))
+                 for k in sorted(env.C.keys())]
+        spec = np.stack([s / max(s[0], 1e-300) for s in specs])
+        if spec_prev is not None:
+            dist = float(np.linalg.norm(spec - spec_prev))
+            history["conv_crit"].append(dist)
+            if dist < ctm_cfg.ctm_conv_tol:
+                break
+        spec_prev = spec
+    return env, history
+
+
+def rdm1x1_dl(E_open, env: ENV):
+    """Unnormalized rho[s, z] from an open double tensor
+    ``E_open[s, z, U, L, D, R]``."""
+    C, T = env.C, env.T
+    q = jnp.einsum("xy,ymz->xmz", C[(_C, (-1, -1))], T[(_C, (0, -1))])
+    q = jnp.einsum("xmz,xwl->mzwl", q, T[(_C, (-1, 0))])
+    q = jnp.einsum("mzwl,bcmldr->bczwdr", q, E_open)
+    q = jnp.einsum("bczwdr,zp->bcpwdr", q, C[(_C, (1, -1))])
+    q = jnp.einsum("bcpwdr,prv->bcwdv", q, T[(_C, (1, 0))])
+    q = jnp.einsum("bcwdv,wy->bcydv", q, C[(_C, (-1, 1))])
+    q = jnp.einsum("bcydv,dyu->bcuv", q, T[(_C, (0, 1))])
+    return jnp.einsum("bcuv,vu->bc", q, C[(_C, (1, 1))])

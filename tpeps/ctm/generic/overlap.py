@@ -142,7 +142,8 @@ def closure_1x1(coord, state1, state2, env: ENV):
     q = jnp.einsum("xy,ymz->xmz", C[(c, (-1, -1))], T[(c, (0, -1))])
     q = jnp.einsum("xmz,xwl->mzwl", q, T[(c, (-1, 0))])
     q = jnp.einsum("mzwl,mldr->zwdr", q, dl)
-    q = jnp.einsum("zwdr,zrv->wdv", q, T[(c, (1, 0))])
+    q = jnp.einsum("zwdr,zp->pwdr", q, C[(c, (1, -1))])
+    q = jnp.einsum("pwdr,prv->wdv", q, T[(c, (1, 0))])
     q = jnp.einsum("wdv,wy->ydv", q, C[(c, (-1, 1))])
     q = jnp.einsum("ydv,dyu->uv", q, T[(c, (0, 1))])
     return jnp.einsum("uv,vu->", q, C[(c, (1, 1))])
@@ -170,9 +171,9 @@ def closure_2x1(coord, state1, state2, env: ENV):
     q = jnp.einsum("zru,znw->runw", q, T[(c1, (0, -1))])
     q = jnp.einsum("runw,nrds->uwds", q, dl_at((x + 1, y)))
     q = jnp.einsum("uwds,dub->wsb", q, T[(c1, (0, 1))])
-    q = jnp.einsum("wsb,wv->vsb", q, C[(c1, (1, -1))])
-    q = jnp.einsum("vsb,vst->tb", q, T[(c1, (1, 0))])
-    return jnp.einsum("tb,bt->", q, C[(c1, (1, 1))])
+    q = jnp.einsum("wsb,wp->psb", q, C[(c1, (1, -1))])
+    q = jnp.einsum("psb,pst->tb", q, T[(c1, (1, 0))])
+    return jnp.einsum("tb,tb->", q, C[(c1, (1, 1))])
 
 
 def transfer_value(state1, state2, env: ENV, coord=(0, 0)):
