@@ -198,3 +198,47 @@ def test_abelian_su_matches_dense():
     eD = energy(stD.absorb_weights())
     assert np.isfinite(eA) and np.isfinite(eD)
     assert abs(eA - eD) < 5e-7, (eA, eD)
+
+
+def test_quasi_canonical_gauge():
+    """IPEPS_WEIGHTED.gauge() (reference ipeps/ipeps.py:672-762):
+    the quasi-canonical regauge is (i) physically exact — per-bond
+    G_l^T diag(S) G_r == diag(W) — and (ii) idempotent at its fixed
+    point.  Verified through converged CTM energies of the absorbed
+    states on an SU-evolved Heisenberg state."""
+    from tpeps.models.j1j2 import J1J2
+    from tpeps.ctm.generic.env import init_env
+    from tpeps.ctm.generic.ctmrg import run as run_ctm
+
+    sites = {
+        (0, 0): jnp.asarray(np.array([1.0, 0.1]).reshape(2, 1, 1, 1, 1)),
+        (1, 0): jnp.asarray(np.array([0.1, 1.0]).reshape(2, 1, 1, 1, 1)),
+        (0, 1): jnp.asarray(np.array([0.1, 1.0]).reshape(2, 1, 1, 1, 1)),
+        (1, 1): jnp.asarray(np.array([1.0, 0.1]).reshape(2, 1, 1, 1, 1)),
+    }
+    state = IPEPS_WEIGHTED(sites=sites, lX=2, lY=2)
+    model = J1J2(j1=1.0, j2=0.0)
+    Sz = np.diag([0.5, -0.5])
+    Sp = np.array([[0.0, 1.0], [0.0, 0.0]])
+    SS = np.kron(Sz, Sz) + 0.5 * (np.kron(Sp, Sp.T) + np.kron(Sp.T, Sp))
+    h2 = jnp.asarray(SS.reshape(2, 2, 2, 2))
+    for tau, n in [(0.5, 20), (0.1, 20)]:
+        g = gate_from_hamiltonian(h2, tau)
+        for _ in range(n):
+            state = run_seq_2s(state, [(b, g) for b in all_nn_bonds(state)], max_D=2)
+
+    gauged = state.gauge()
+    # idempotence: weights are already at the quasi-canonical fixed point
+    g2 = gauged.gauge()
+    for k in gauged.weights:
+        w1 = np.asarray(gauged.weights[k]) / np.asarray(gauged.weights[k])[0]
+        w2 = np.asarray(g2.weights[k]) / np.asarray(g2.weights[k])[0]
+        assert np.abs(w1 - w2).max() < 1e-6
+
+    cfg = CtmArgs(ctm_max_iter=80, ctm_conv_tol=1e-9)
+    E = []
+    for s in [state.absorb_weights(), gauged.absorb_weights()]:
+        env = init_env(s, 16)
+        env, _ = run_ctm(s, env, cfg)
+        E.append(float(np.real(model.energy_per_site(s, env))))
+    assert abs(E[0] - E[1]) < 1e-8, f"gauge changed the state: {E}"

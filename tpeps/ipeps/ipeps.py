@@ -285,6 +285,93 @@ class IPEPS_WEIGHTED(IPEPS):
             sites[coord] = a
         return IPEPS(sites, vertexToSite=self.vertexToSite, lX=self.lX, lY=self.lY)
 
+    def gauge(self, peps_cfg=None):
+        """Bring the weighted iPEPS to quasi-canonical form (reference
+        ipeps/ipeps.py:672-762).
+
+        Iterates: (i) for every site/direction compute the mean-field
+        bond environment ``a = A W^2 A^+`` (all other legs closed with
+        squared weights), split it as ``a = X X^T`` via eigh; (ii) for
+        every unique bond SVD ``X_l^T W X_r = U S Vh`` — ``S`` becomes
+        the new weight and ``U^T X_l^{-1}``/``Vh X_r^{-1}`` regauge the
+        adjacent site legs.  At the fixed point the weights are the
+        mean-field Schmidt spectra (quasi-canonical / super-orthogonal
+        form), which is the proper starting gauge for simple update and
+        for truncations based on it.
+        """
+        tol = peps_cfg.quasi_gauge_tol if peps_cfg is not None else 1.0e-8
+        max_iter = peps_cfg.quasi_gauge_max_iter if peps_cfg is not None else 10**6
+
+        def neg(d):
+            return (-d[0], -d[1])
+
+        def add(c, d):
+            return (c[0] + d[0], c[1] + d[1])
+
+        exprs = {
+            (0, -1): "suldr,smldr,l,d,r->um",
+            (-1, 0): "suldr,sumdr,u,d,r->lm",
+            (0, 1): "suldr,sulmr,u,l,r->dm",
+            (1, 0): "suldr,suldm,u,l,d->rm",
+        }
+        others = {
+            (0, -1): ((-1, 0), (0, 1), (1, 0)),
+            (-1, 0): ((0, -1), (0, 1), (1, 0)),
+            (0, 1): ((0, -1), (-1, 0), (1, 0)),
+            (1, 0): ((0, -1), (-1, 0), (0, 1)),
+        }
+
+        def dl_gauge(coord, d, sites, weights):
+            A = sites[coord]
+            ws = [weights[(coord, o)] ** 2 for o in others[d]]
+            a = jnp.einsum(exprs[d], A, jnp.conj(A), *ws)
+            ev, U = jnp.linalg.eigh(-a / jnp.abs(a).max())
+            ev = -ev  # descending, >= 0 up to noise
+            ev = jnp.clip(ev, 0.0, None)
+            X = U * jnp.sqrt(ev)
+            keep = ev / ev[0] >= 1.0e-14
+            inv = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, ev, 1.0)), 0.0)
+            Xinv = (U * inv).conj().T
+            return X, Xinv
+
+        sites = {c: t / jnp.abs(t).max() for c, t in self.sites.items()}
+        weights = dict(self.weights)
+        dist = float("inf")
+        it = 0
+        while dist > tol and it < max_iter:
+            Xs = {
+                (c, d): dl_gauge(c, d, sites, weights)
+                for c in sites
+                for d in self._DXY_TO_AXIS
+            }
+            new_w, Us = {}, {}
+            for c in sites:
+                for d in self._DXY_TO_AXIS:
+                    w_id, w_rid = (c, d), (self.vertexToSite(add(c, d)), neg(d))
+                    if w_id in new_w or w_rid in new_w:
+                        continue
+                    M = (Xs[w_id][0].T * weights[w_id]) @ Xs[w_rid][0]
+                    U, S, Vh = jnp.linalg.svd(M)
+                    new_w[w_id] = S
+                    new_w[w_rid] = S
+                    Us[w_id] = U.T
+                    Us[w_rid] = Vh
+            new_s = {}
+            for c in sites:
+                G = [Us[(c, d)] @ Xs[(c, d)][1] for d in self._DXY_TO_AXIS]
+                new_s[c] = jnp.einsum(
+                    "smnop,um,ln,do,rp->suldr", sites[c], *G
+                )
+            dist = sum(
+                float(jnp.linalg.norm(new_w[k] - weights[k])) for k in weights
+            ) / len(sites)
+            sites, weights = new_s, new_w
+            it += 1
+        return type(self)(
+            sites=sites, weights=weights,
+            vertexToSite=self.vertexToSite, lX=self.lX, lY=self.lY,
+        )
+
 
 def extend_bond_dim(state, new_d):
     """Zero-pad all auxiliary dimensions up to ``new_d``
