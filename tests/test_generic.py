@@ -305,3 +305,63 @@ def test_dl_engine_matches_sl():
     rho_s = rho_s / jnp.trace(rho_s)
     assert np.abs(np.asarray(rho_d) - np.asarray(rho_s)).max() < 1e-8, (
         np.asarray(rho_d), np.asarray(rho_s))
+
+
+def test_dl_rdm2_matches_sl():
+    """dl 2-site / NNN RDMs == sl RDMs through the same converged sl
+    environment geometry (bosonic state, both engines converged
+    separately to the same fixed point)."""
+    import jax
+
+    from tpeps.ctm.generic import ctmrg as ctmrg_sl
+    from tpeps.ctm.generic import rdm as rdm_sl
+    from tpeps.ctm.generic.dl import (
+        dl_of, init_env_dl, rdm1x2_dl, rdm2x1_dl, rdm2x2_anti_dl,
+        rdm2x2_diag_dl, run_dl)
+    from tpeps.ctm.generic.env import init_env
+    from tpeps.ipeps.ipeps import IPEPS
+
+    key = jax.random.PRNGKey(11)
+    a = jax.random.uniform(key, (2, 2, 2, 2, 2), dtype=jnp.float64) - 0.5
+    st = IPEPS({(0, 0): a})
+    cfg = CtmArgs(ctm_max_iter=120, ctm_conv_tol=1e-12)
+
+    env_s, _ = ctmrg_sl.run(st, init_env(st, 12, "CTMRG"), cfg)
+    E = dl_of(a)
+    env_d, _ = run_dl(E, init_env_dl(E, 12), cfg)
+    E_open = jnp.einsum("suldr,zabce->szualbdcre", a, jnp.conj(a))
+    sh = E_open.shape
+    E_open = E_open.reshape(sh[0], sh[1], sh[2] * sh[3], sh[4] * sh[5],
+                            sh[6] * sh[7], sh[8] * sh[9])
+
+    def nrm_dl(r):
+        # dl RDMs interleave as [s0, z0, s1, z1]; regroup kets | bras
+        r = np.asarray(r).transpose(0, 2, 1, 3).reshape(4, 4)
+        return r / np.trace(r)
+
+    def nrm_sl(r):
+        r = np.asarray(r).reshape(4, 4)
+        return r / np.trace(r)
+
+    pairs = [
+        (rdm2x1_dl(E_open, env_d),
+         rdm_sl.rdm2x1((0, 0), st.sites, st.vertexToSite, env_s.C, env_s.T)),
+        (rdm1x2_dl(E_open, env_d),
+         rdm_sl.rdm1x2((0, 0), st.sites, st.vertexToSite, env_s.C, env_s.T)),
+    ]
+    for got, want in pairs:
+        assert np.abs(nrm_dl(got) - nrm_sl(want)).max() < 1e-7
+
+    # NNN diag/anti: cross-check against the patch RDM rdm2x2_open
+    from tpeps.ctm.generic.rdm_patch import rdm2x2_open
+
+    diag_w = rdm2x2_open((0, 0), st.sites, st.vertexToSite, env_s.C, env_s.T,
+                         open_sites=(0, 3))
+    anti_w = rdm2x2_open((0, 0), st.sites, st.vertexToSite, env_s.C, env_s.T,
+                         open_sites=(1, 2))
+    diag_g = nrm_dl(rdm2x2_diag_dl(E_open, E, env_d))
+    anti_g = nrm_dl(rdm2x2_anti_dl(E_open, E, env_d))
+    assert np.abs(diag_g - nrm_sl(diag_w)).max() < 1e-7
+    # anti-dl output is (upper-right, lower-left) — same order as
+    # open_sites=(1, 2)
+    assert np.abs(anti_g - nrm_sl(anti_w)).max() < 1e-7

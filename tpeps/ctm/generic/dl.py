@@ -226,3 +226,97 @@ def rdm1x1_dl(E_open, env: ENV):
     q = jnp.einsum("bcwdv,wy->bcydv", q, C[(_C, (-1, 1))])
     q = jnp.einsum("bcydv,dyu->bcuv", q, T[(_C, (0, 1))])
     return jnp.einsum("bcuv,vu->bc", q, C[(_C, (1, 1))])
+
+
+def rdm2x1_dl(E_open, env: ENV, E_open2=None):
+    """Unnormalized rho[s0, z0, s1, z1] of two horizontally adjacent
+    sites, both open (mirror of the sl ``rdm2x1``; the closure pattern
+    is ``overlap.closure_2x1`` with the phys pairs threaded)."""
+    C, T = env.C, env.T
+    Eo2 = E_open if E_open2 is None else E_open2
+    q = jnp.einsum("xy,ymz->xmz", C[(_C, (-1, -1))], T[(_C, (0, -1))])
+    q = jnp.einsum("xmz,xwl->mzwl", q, T[(_C, (-1, 0))])
+    q = jnp.einsum("mzwl,abmldr->abzwdr", q, E_open)
+    q = jnp.einsum("abzwdr,wv->abzvdr", q, C[(_C, (-1, 1))])
+    q = jnp.einsum("abzvdr,dvu->abzru", q, T[(_C, (0, 1))])
+    q = jnp.einsum("abzru,znw->abrunw", q, T[(_C, (0, -1))])
+    q = jnp.einsum("abrunw,efnrds->abefuwds", q, Eo2)
+    q = jnp.einsum("abefuwds,dug->abefwsg", q, T[(_C, (0, 1))])
+    q = jnp.einsum("abefwsg,wp->abefpsg", q, C[(_C, (1, -1))])
+    q = jnp.einsum("abefpsg,pst->abeftg", q, T[(_C, (1, 0))])
+    return jnp.einsum("abeftg,tg->abef", q, C[(_C, (1, 1))])
+
+
+def rdm1x2_dl(E_open, env: ENV, E_open2=None):
+    """Unnormalized rho[s0, z0, s1, z1] of two vertically adjacent
+    sites (site1 below site0), both open."""
+    C, T = env.C, env.T
+    Eo2 = E_open if E_open2 is None else E_open2
+    q = jnp.einsum("xy,ymz->xmz", C[(_C, (-1, -1))], T[(_C, (0, -1))])
+    q = jnp.einsum("xmz,zp->xmp", q, C[(_C, (1, -1))])
+    q = jnp.einsum("xmp,prv->xmrv", q, T[(_C, (1, 0))])
+    q = jnp.einsum("xmrv,xwl->mrvwl", q, T[(_C, (-1, 0))])
+    q = jnp.einsum("mrvwl,abmldr->abvwd", q, E_open)
+    q = jnp.einsum("abvwd,wcl->abvdcl", q, T[(_C, (-1, 0))])
+    q = jnp.einsum("abvdcl,efdlgr->abefvcgr", q, Eo2)
+    q = jnp.einsum("abefvcgr,vrt->abefcgt", q, T[(_C, (1, 0))])
+    q = jnp.einsum("abefcgt,cy->abefygt", q, C[(_C, (-1, 1))])
+    q = jnp.einsum("abefygt,gyu->abefut", q, T[(_C, (0, 1))])
+    return jnp.einsum("abefut,tu->abef", q, C[(_C, (1, 1))])
+
+
+def _lu_open(E_open, C, T):
+    q = jnp.einsum("xy,ymi->xmi", C[(_C, (-1, -1))], T[(_C, (0, -1))])
+    q = jnp.einsum("xmi,xjl->mijl", q, T[(_C, (-1, 0))])
+    q = jnp.einsum("mijl,abmldr->abjdir", q, E_open)
+    sh = q.shape
+    return q.reshape(sh[0], sh[1], sh[2] * sh[3], sh[4] * sh[5])
+
+
+def _rd_open(E_open, C, T):
+    q = jnp.einsum("xy,mly->xml", C[(_C, (1, 1))], T[(_C, (0, 1))])
+    q = jnp.einsum("xml,tnx->mltn", q, T[(_C, (1, 0))])
+    q = jnp.einsum("mltn,abukmn->abtulk", q, E_open)
+    sh = q.shape
+    return q.reshape(sh[0], sh[1], sh[2] * sh[3], sh[4] * sh[5])
+
+
+def _ru_open(E_open, C, T):
+    q = jnp.einsum("xy,ymb->xmb", C[(_C, (1, -1))], T[(_C, (1, 0))])
+    q = jnp.einsum("xmb,lnx->mbln", q, T[(_C, (0, -1))])
+    q = jnp.einsum("mbln,pqnkdm->pqlkbd", q, E_open)
+    sh = q.shape
+    return q.reshape(sh[0], sh[1], sh[2] * sh[3], sh[4] * sh[5])
+
+
+def _ld_open(E_open, C, T):
+    q = jnp.einsum("xy,txw->ytw", C[(_C, (-1, 1))], T[(_C, (-1, 0))])
+    q = jnp.einsum("ytw,myr->twmr", q, T[(_C, (0, 1))])
+    q = jnp.einsum("twmr,pquwmk->pqturk", q, E_open)
+    sh = q.shape
+    return q.reshape(sh[0], sh[1], sh[2] * sh[3], sh[4] * sh[5])
+
+
+def rdm2x2_diag_dl(E_open, E, env: ENV):
+    """Unnormalized rho[s00, z00, s11, z11] of the diagonal NNN pair
+    ((0,0), (1,1)) of a 2x2 patch (closed E at the off-diagonal sites)."""
+    C, T = env.C, env.T
+    lu = _lu_open(E_open, C, T)
+    _, ru, _, ld = _corners(E, C, T)
+    rd = _rd_open(E_open, C, T)
+    q = jnp.einsum("abDR,RV->abDV", lu, ru)
+    q = jnp.einsum("abDV,efVL->abefDL", q, rd)
+    return jnp.einsum("abefDL,DL->abef", q, ld)
+
+
+def rdm2x2_anti_dl(E_open, E, env: ENV):
+    """Unnormalized rho[s10, z10, s01, z01] of the anti-diagonal NNN
+    pair ((1,0), (0,1)) — upper-right site FIRST in the output (the
+    raw-order convention of the abelian ``rdm2x2_NNN_1n1``)."""
+    C, T = env.C, env.T
+    lu, _, rd, _ = _corners(E, C, T)
+    ru = _ru_open(E_open, C, T)
+    ld = _ld_open(E_open, C, T)
+    q = jnp.einsum("DR,abRV->abDV", lu, ru)
+    q = jnp.einsum("abDV,VL->abDL", q, rd)
+    return jnp.einsum("abDL,efDL->abef", q, ld)

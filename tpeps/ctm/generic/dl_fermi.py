@@ -1,0 +1,125 @@
+"""Fermionic double-layer tensors for the generic double-layer CTM.
+
+The fermionic iPEPS contraction problem (reference
+ctm/generic_abelian/corrf_fermionic.py:26-60 ``get_dl_tensor`` and the
+honeycomb examples) is solved here the way a planar fermionic network
+admits: all Grassmann sign structure of the ket x bra double layer is
+*local* — a per-site quadratic sign dressing on the 10 legs
+``(s, u, l, d, r, s', u', l', d', r')`` of the ket (x) conj-bra pair.
+After dressing, the double tensor ``E`` is plain bosonic data: the
+standard double-layer CTM (:mod:`tpeps.ctm.generic.dl`) contracts,
+truncates and converges it with no further sign bookkeeping.
+
+The dressing used here is::
+
+    sign = (-1) ** ( (p(s) + p(u)) (p(r) + p(r'))  +  p(l) (p(d) + p(d')) )
+
+where ``p`` is the *true* fermion parity of the leg sector (including
+the per-leg parity shift of charge-shifted physical legs, see
+:class:`tpeps.sym.tensor.LegCharges`).  It was solved for exactly — not
+postulated: enumerate charge assignments of 2x2 / 3x2 / 2x3 open
+patches (ket flows exhaustively, bra flows as ket + plaquette cycle
+flows), require the bosonic contraction of dressed double tensors to
+equal the brute-force Grassmann-integral value of the graded network
+(``tests/test_fermionic.py::grassmann_oracle``), and solve the
+resulting GF(2) linear system over all per-site quadratic sign ansatze
+(10 linear + 45 pair couplings).  The joint system is consistent; the
+rule above is its minimum-weight solution, and it reproduces the
+Grassmann value of patches with fully interior sites for arbitrary
+random fermionic tensors to machine precision — see
+``tests/test_fermionic_dl.py``.
+
+This plays the role of the swap-gate placement in the reference's
+yastn-based double tensor (corrf_fermionic.py:31-39) for *this*
+package's leg order and monomial conventions; the two differ by
+bond-local gauge.
+
+Note on the physical legs: in the closed double tensor the bra phys
+leg is contracted with the ket one, so only ``p(s)`` enters.  In the
+open (RDM) variant the ``(s, x)`` dressing terms keep the ket phys
+parity by convention; fermionic (parity-odd) operator insertions carry
+their own signs fitted at the RDM level (see
+:func:`tpeps.models.fermion.tv_model`).
+
+Layout conventions match :mod:`tpeps.ctm.generic.dl`: closed double
+tensors have legs ``(u, l, d, r)`` each fused ket-major as ``D*D'``;
+open ones carry ``(s, z)`` in front.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def leg_parities(a):
+    """Per-dense-index fermion parity vectors for every leg of the
+    graded ``AbelianTensor`` ``a`` (including leg pshifts)."""
+    out = []
+    for lg in a.legs:
+        ps = []
+        pshift = getattr(lg, "pshift", 0)
+        for q, d in lg.charges:
+            if isinstance(q, tuple):
+                p = (abs(sum(q)) + pshift) % 2
+            else:
+                p = (abs(q) + pshift) % 2
+            ps += [p] * d
+        out.append(np.asarray(ps))
+    return out
+
+
+def _sign_mask(P):
+    """The planar dressing on index order (s,u,l,d,r,z,u',l',d',r'):
+    ``(-1)^{(p_s+p_u)(p_r+p_r') + p_l(p_d+p_d')}``."""
+    ps, pu, pl, pd, pr = P[0], P[1], P[2], P[3], P[4]
+
+    def ax(v, i):
+        sh = [1] * 10
+        sh[i] = -1
+        return v.reshape(sh)
+
+    left = ax(ps, 0) + ax(pu, 1)          # p_s + p_u
+    right = ax(pr, 4) + ax(pr, 9)         # p_r + p_r'
+    down = ax(pd, 3) + ax(pd, 8)          # p_d + p_d'
+    m = (-1.0) ** (left * right + ax(pl, 2) * down)
+    return m
+
+
+def double_tensor(a, op=None):
+    """Closed (or 1-site-operator) fermionic double tensor.
+
+    :param a: graded on-site tensor, legs (s,u,l,d,r).
+    :param op: optional parity-even 1-site operator as a dense
+        ``(d_out, d_in)`` matrix in the same dense phys basis; fermionic
+        parity-odd operators need a string and are handled at the RDM
+        level.
+    :return: dense jnp array, legs (u l d r) fused ket-major (D*D').
+    """
+    Ad = np.asarray(a.to_dense())
+    P = leg_parities(a)
+    B = np.conj(Ad)
+    if op is not None:
+        Ad = np.einsum("zs,suldr->zuldr", np.asarray(op), Ad)
+    E9 = np.einsum("suldr,zabce->suldrzabce", Ad, B)
+    E9 = E9 * _sign_mask(P)
+    E = np.einsum("suldrsabce->uldrabce", E9).transpose(0, 4, 1, 5, 2, 6, 3, 7)
+    sh = E.shape
+    E = E.reshape(sh[0] * sh[1], sh[2] * sh[3], sh[4] * sh[5], sh[6] * sh[7])
+    return jnp.asarray(E)
+
+
+def double_tensor_open(a):
+    """Phys-open fermionic double tensor, legs (s, z, U, L, D, R) with
+    the aux pairs fused; contract with parity-even operators via
+    :func:`tpeps.ctm.generic.dl.rdm1x1_dl`."""
+    Ad = np.asarray(a.to_dense())
+    P = leg_parities(a)
+    B = np.conj(Ad)
+    E9 = np.einsum("suldr,zabce->suldrzabce", Ad, B)
+    E9 = E9 * _sign_mask(P)
+    E = E9.transpose(0, 5, 1, 6, 2, 7, 3, 8, 4, 9)
+    sh = E.shape
+    E = E.reshape(sh[0], sh[1], sh[2] * sh[3], sh[4] * sh[5],
+                  sh[6] * sh[7], sh[8] * sh[9])
+    return jnp.asarray(E)
