@@ -169,3 +169,174 @@ def test_open_parity_even_op():
     want = complex(_pairwise(tensors, bonds2, order2)) / \
         _oracle(coords, legt, bonds, order, ts)
     assert abs(want - got) < 1e-12 * max(1.0, abs(want))
+
+
+# ---------------------------------------------------------------- pairs
+def _gop(Lp, charge, entries):
+    t = AbelianTensor("U1", (1, -1), (Lp, Lp), charge,
+                      dtype=jnp.complex128, fermionic=True)
+    for key, mat in entries.items():
+        t.blocks[key] = jnp.asarray(np.array(mat, dtype=complex))
+    return t
+
+
+def _site_ops(Lp):
+    """c/c+ for the two modes (A=u, B=d) in the [vac | u d | ud] basis,
+    with the within-site Jordan-Wigner sign on the d mode."""
+    cA = _gop(Lp, -1, {(-1, 0): [[1.0, 0.0]], (0, 1): [[0.0], [1.0]]})
+    cpA = _gop(Lp, +1, {(0, -1): [[1.0], [0.0]], (1, 0): [[0.0, 1.0]]})
+    cB = _gop(Lp, -1, {(-1, 0): [[0.0, 1.0]], (0, 1): [[-1.0], [0.0]]})
+    cpB = _gop(Lp, +1, {(0, -1): [[0.0], [1.0]], (1, 0): [[-1.0, 0.0]]})
+    return cA, cpA, cB, cpB
+
+
+def _dense_op(t):
+    off = {-1: 0, 0: 1, 1: 3}
+    m = np.zeros((4, 4), dtype=complex)
+    for (qo, qi), b in t.blocks.items():
+        b = np.asarray(b)
+        m[off[qo]:off[qo] + b.shape[0], off[qi]:off[qi] + b.shape[1]] = b
+    return m
+
+
+def _oracle_pair(coords, legt, bonds, i, j, ts, G):
+    from tpeps.groups.fermions import ordered_pair  # noqa: F401
+
+    KI = {c: k for k, c in enumerate(coords)}
+    BI = {c: k + len(coords) for k, c in enumerate(coords)}
+    NG = 2 * len(coords)
+    tensors = ([ts[c] for c in coords] + [ts[c].conj() for c in coords]
+               + [G])
+    bonds2 = []
+    for (a, b) in bonds:
+        if a == (KI[i], 0) and b == (BI[i], 0):
+            bonds2.append(((KI[i], 0), (NG, 1)))
+            bonds2.append(((NG, 0), (BI[i], 0)))
+        elif a == (KI[j], 0) and b == (BI[j], 0):
+            bonds2.append(((KI[j], 0), (NG, 3)))
+            bonds2.append(((NG, 2), (BI[j], 0)))
+        else:
+            bonds2.append((a, b))
+    order2 = ([(KI[i], NG), (KI[i], BI[i]), (KI[i], KI[j]),
+               (KI[i], BI[j])] +
+              [(KI[i], KI[c]) for c in coords if c not in (i, j)] +
+              [(KI[i], BI[c]) for c in coords if c not in (i, j)])
+    return complex(_pairwise(tensors, bonds2, order2))
+
+
+@pytest.mark.parametrize("gname,i", [("h", (0, 0)), ("v", (0, 0)),
+                                     ("diag", (0, 0)), ("anti", (1, 0))])
+def test_pair_strings_match_oracle(gname, i):
+    """String-dressed open double tensors: the plain bosonic rho
+    contraction with a fermionic (parity-odd) operator pair equals the
+    graded-network insertion of ``ordered_pair`` exactly (2x2 patch,
+    arbitrary random tensors)."""
+    from tpeps.ctm.generic.dl_fermi import (
+        PAIR_STRINGS, double_tensor_open)
+    from tpeps.groups.fermions import ordered_pair
+
+    rng = np.random.default_rng(61)
+    Lp = leg({-1: 1, 0: 2, 1: 1})
+    Lv = leg({-1: 1, 0: 1, 1: 1})
+    off = {"h": (1, 0), "v": (0, 1), "diag": (1, 1), "anti": (-1, 1)}[gname]
+    j = (i[0] + off[0], i[1] + off[1])
+    coords, legt, bonds, order = _patch(2, 2, Lp, Lv)
+    ts = {c: _rand_even(rng, "U1", SIG, legt[c]) for c in coords}
+    cA, cpA, cB, cpB = _site_ops(Lp)
+
+    want = _oracle_pair(coords, legt, bonds, i, j, ts,
+                        ordered_pair(cB, cpA))
+
+    si_str, sj_str = PAIR_STRINGS[gname]
+    Es = {}
+    for c in coords:
+        st = si_str if c == i else (sj_str if c == j else ())
+        Eo = np.asarray(double_tensor_open(ts[c], st))
+        Es[c] = Eo if c in (i, j) else np.einsum("ssabcd->abcd", Eo)
+    lab = {}
+
+    def bid(k):
+        if k not in lab:
+            lab[k] = len(lab)
+        return lab[k]
+
+    out = [bid(("o", k)) for k in range(4)]
+    args = []
+    for (x, y) in coords:
+        sub = []
+        if (x, y) == i:
+            sub += [lab[("o", 0)], lab[("o", 1)]]
+        elif (x, y) == j:
+            sub += [lab[("o", 2)], lab[("o", 3)]]
+        sub += [bid(("v", x, y - 1)) if y > 0 else bid(("bu", x, y)),
+                bid(("h", x - 1, y)) if x > 0 else bid(("bl", x, y)),
+                bid(("v", x, y)) if y < 1 else bid(("bd", x, y)),
+                bid(("h", x, y)) if x < 1 else bid(("br", x, y))]
+        args += [Es[(x, y)], sub]
+    rho = np.einsum(*args, out)
+    got = np.einsum("abef,ba,fe->", rho, _dense_op(cB), _dense_op(cpA))
+    assert abs(want - got) < 1e-10 * max(1.0, abs(want)), (want, got)
+
+
+def test_tv_model_dimer_states():
+    """End-to-end physics: exact dimer product states through the full
+    fermionic dl CTM + TVModel give the hand-computable energy -t1
+    (onsite / horizontal / vertical dimers; nA = nB = 1/2).  This pins
+    the operator-order and Fock-sign conventions
+    (dl_fermi.PAIR_FOCK_SIGN) against first-quantized computations."""
+    from tpeps.config import CtmArgs
+    from tpeps.models.fermion.tv_model import TVModel
+
+    Lp = leg({-1: 1, 0: 2, 1: 1})
+    L2 = leg({0: 1, 1: 1})
+    L1 = leg({0: 1})
+    s2 = 1 / np.sqrt(2)
+
+    def h_dimer():
+        a = AbelianTensor("U1", (1, 1, 1, -1, -1), (Lp, L1, L2, L1, L2), 0,
+                          dtype=jnp.complex128, fermionic=True)
+        # bond charge 1 <=> the bond fermion sits on A of the right
+        # site; the (0,0) entry sign makes the PHYSICAL state the
+        # symmetric dimer (checked against exact Fock amplitudes)
+        ent = {(1, 1): (0, 0, 1.0), (0, 0): (0, 1, -1.0),
+               (1, 0): (1, 0, 1.0), (0, 1): (-1, 0, 1.0)}
+        for (ql, qr), (qs, idx, sg) in ent.items():
+            key = (qs, 0, ql, 0, qr)
+            sh = a.block_shape(key)
+            blk = np.zeros(sh, dtype=complex)
+            blk[(idx,) + (0,) * (len(sh) - 1)] = s2 * sg
+            a.blocks[key] = jnp.asarray(blk)
+        return a
+
+    def v_dimer():
+        a = AbelianTensor("U1", (1, 1, 1, -1, -1), (Lp, L2, L1, L2, L1), 0,
+                          dtype=jnp.complex128, fermionic=True)
+        ent = {(1, 1): (0, 0), (0, 0): (0, 1), (0, 1): (1, 0),
+               (1, 0): (-1, 0)}
+        for (qu, qd), (qs, idx) in ent.items():
+            key = (qs, qu, 0, qd, 0)
+            sh = a.block_shape(key)
+            blk = np.zeros(sh, dtype=complex)
+            blk[(idx,) + (0,) * (len(sh) - 1)] = s2
+            a.blocks[key] = jnp.asarray(blk)
+        return a
+
+    def onsite_dimer():
+        a = AbelianTensor("U1", (1, 1, 1, -1, -1), (Lp, L1, L1, L1, L1), 0,
+                          dtype=jnp.complex128, fermionic=True)
+        blk = np.zeros((2, 1, 1, 1, 1), dtype=complex)
+        blk[0, 0, 0, 0, 0] = s2
+        blk[1, 0, 0, 0, 0] = s2
+        a.blocks[(0, 0, 0, 0, 0)] = jnp.asarray(blk)
+        return a
+
+    cfg = CtmArgs(ctm_max_iter=60, ctm_conv_tol=1e-11)
+    model = TVModel(t1=1.0)
+    for nm, a in [("onsite", onsite_dimer()), ("h", h_dimer()),
+                  ("v", v_dimer())]:
+        env, _ = model.converge(a, 8, cfg)
+        e = model.energy_per_site(a, env)
+        obs = model.eval_obs(a, env)
+        assert abs(e - (-1.0)) < 1e-9, (nm, e)
+        assert abs(obs["nA_(0, 0)"] - 0.5) < 1e-9
+        assert abs(obs["nB_(0, 0)"] - 0.5) < 1e-9

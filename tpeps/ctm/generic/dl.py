@@ -297,26 +297,30 @@ def _ld_open(E_open, C, T):
     return q.reshape(sh[0], sh[1], sh[2] * sh[3], sh[4] * sh[5])
 
 
-def rdm2x2_diag_dl(E_open, E, env: ENV):
+def rdm2x2_diag_dl(E_open, E, env: ENV, E_open2=None):
     """Unnormalized rho[s00, z00, s11, z11] of the diagonal NNN pair
-    ((0,0), (1,1)) of a 2x2 patch (closed E at the off-diagonal sites)."""
+    ((0,0), (1,1)) of a 2x2 patch (closed E at the off-diagonal sites).
+    ``E_open2`` (default ``E_open``) is used at the second (lower-right)
+    site — fermionic strings need different dressings per role."""
     C, T = env.C, env.T
     lu = _lu_open(E_open, C, T)
     _, ru, _, ld = _corners(E, C, T)
-    rd = _rd_open(E_open, C, T)
+    rd = _rd_open(E_open if E_open2 is None else E_open2, C, T)
     q = jnp.einsum("abDR,RV->abDV", lu, ru)
     q = jnp.einsum("abDV,efVL->abefDL", q, rd)
     return jnp.einsum("abefDL,DL->abef", q, ld)
 
 
-def rdm2x2_anti_dl(E_open, E, env: ENV):
+def rdm2x2_anti_dl(E_open, E, env: ENV, E_open2=None):
     """Unnormalized rho[s10, z10, s01, z01] of the anti-diagonal NNN
     pair ((1,0), (0,1)) — upper-right site FIRST in the output (the
-    raw-order convention of the abelian ``rdm2x2_NNN_1n1``)."""
+    raw-order convention of the abelian ``rdm2x2_NNN_1n1``).
+    ``E_open2`` (default ``E_open``) is used at the second (lower-left)
+    site."""
     C, T = env.C, env.T
     lu, _, rd, _ = _corners(E, C, T)
     ru = _ru_open(E_open, C, T)
-    ld = _ld_open(E_open, C, T)
+    ld = _ld_open(E_open if E_open2 is None else E_open2, C, T)
     q = jnp.einsum("DR,abRV->abDV", lu, ru)
     q = jnp.einsum("abDV,VL->abDL", q, rd)
     return jnp.einsum("abDL,efDL->abef", q, ld)

@@ -69,9 +69,17 @@ def leg_parities(a):
     return out
 
 
-def _sign_mask(P):
+def _sign_mask(P, phys_idx=0):
     """The planar dressing on index order (s,u,l,d,r,z,u',l',d',r'):
-    ``(-1)^{(p_s+p_u)(p_r+p_r') + p_l(p_d+p_d')}``."""
+    ``(-1)^{(p_s+p_u)(p_r+p_r') + p_l(p_d+p_d')}``.
+
+    ``phys_idx`` selects where the phys-parity factor is evaluated: 0
+    (ket phys; the closed/no-op case) or 5 (bra phys).  The open (RDM)
+    tensors use 5 so that contracting ``rho`` with an operator matrix
+    ``op[z, s]`` is *identical* to building the closed double tensor of
+    the op-applied ket — the convention the fermionic pair-insertion
+    rules (tv_model) are fitted in.
+    """
     ps, pu, pl, pd, pr = P[0], P[1], P[2], P[3], P[4]
 
     def ax(v, i):
@@ -79,7 +87,7 @@ def _sign_mask(P):
         sh[i] = -1
         return v.reshape(sh)
 
-    left = ax(ps, 0) + ax(pu, 1)          # p_s + p_u
+    left = ax(ps, phys_idx) + ax(pu, 1)   # p_s + p_u
     right = ax(pr, 4) + ax(pr, 9)         # p_r + p_r'
     down = ax(pd, 3) + ax(pd, 8)          # p_d + p_d'
     m = (-1.0) ** (left * right + ax(pl, 2) * down)
@@ -109,15 +117,72 @@ def double_tensor(a, op=None):
     return jnp.asarray(E)
 
 
-def double_tensor_open(a):
+#: Fermionic string dressings for two-point insertions, solved by the
+#: same GF(2) patch-probing procedure as the norm dressing (all four
+#: joint systems over 2x2..3x3 patches and interior pair positions are
+#: consistent; see tests/test_fermionic_dl.py).  For a parity-odd pair
+#: ``O_i O_j`` (hopping), build the two open double tensors with these
+#: per-site strings and contract the corresponding dl RDM plainly with
+#: the dense operator matrices — no further sign appears:
+#:
+#:   <O_i O_j> = sum rho[s_i,z_i,s_j,z_j] O_i[z_i,s_i] O_j[z_j,s_j]
+#:
+#: Geometries (1x1 unit cell): "h" = (x,y)->(x+1,y), "v" = (x,y)->
+#: (x,y+1), "diag" = (x,y)->(x+1,y+1), "anti" = (x+1,y)->(x,y+1) —
+#: in each case the FIRST site of the rdm leg order is the first
+#: operator in the fermionic product (the reference's f_ordered
+#: convention, tv_model.py:307-316).  Parity-even pairs (densities)
+#: use plain open tensors (string=()) — on those blocks the string
+#: factors are inert by construction.
+PAIR_STRINGS = {
+    "h": (("uk", "ub", "lb", "db", "rk", "rb"), ("db", "rk")),
+    "v": (("uk", "ub", "lb", "dk", "rb"), ("lb", "db", "rk")),
+    "diag": (("lk", "dk", "rk"), ("lb", "db", "rk")),
+    "anti": (("lk", "db", "rk"), ("uk", "ub", "lb", "db", "rk")),
+}
+
+#: Constant per-geometry sign relating the string-dressed rho
+#: contraction to the PHYSICAL ordered product <O_i O_j> in the Fock
+#: basis (measured against exact Fock computations of graded-network
+#: states, constant across operator pairs and states):
+#:
+#:   <O_i O_j>_phys = PAIR_FOCK_SIGN[g] * sum rho_g[...] O_i[..] O_j[..]
+#:
+#: Applies to parity-ODD pairs only; even pairs carry no sign.
+PAIR_FOCK_SIGN = {"h": -1.0, "v": 1.0, "diag": -1.0, "anti": -1.0}
+
+_LEG_IDX = {"uk": 1, "lk": 2, "dk": 3, "rk": 4,
+            "ub": 6, "lb": 7, "db": 8, "rb": 9}
+
+
+def double_tensor_open(a, string=()):
     """Phys-open fermionic double tensor, legs (s, z, U, L, D, R) with
     the aux pairs fused; contract with parity-even operators via
-    :func:`tpeps.ctm.generic.dl.rdm1x1_dl`."""
+    :func:`tpeps.ctm.generic.dl.rdm1x1_dl`, or — with the per-geometry
+    ``string`` from :data:`PAIR_STRINGS` — with fermionic pair
+    operators through the 2-site dl RDMs.
+
+    ``string`` names aux legs (``"uk"`` = up-ket, ``"db"`` = down-bra,
+    ...) that receive the extra odd-insertion factor
+    ``(-1)^{(p_s + p_z) p_leg}``.
+    """
     Ad = np.asarray(a.to_dense())
     P = leg_parities(a)
     B = np.conj(Ad)
     E9 = np.einsum("suldr,zabce->suldrzabce", Ad, B)
-    E9 = E9 * _sign_mask(P)
+    m = _sign_mask(P, phys_idx=5)
+    if string:
+        def ax(v, i):
+            sh = [1] * 10
+            sh[i] = -1
+            return v.reshape(sh)
+
+        tot = 0
+        for nm in string:
+            idx = _LEG_IDX[nm]
+            tot = tot + ax(P[idx % 5], idx)
+        m = m * (-1.0) ** ((ax(P[0], 0) + ax(P[0], 5)) * tot)
+    E9 = E9 * m
     E = E9.transpose(0, 5, 1, 6, 2, 7, 3, 8, 4, 9)
     sh = E.shape
     E = E.reshape(sh[0], sh[1], sh[2] * sh[3], sh[4] * sh[5],

@@ -24,30 +24,57 @@ term for term):
 * anti-diag (site+(0,1), site+(1,0)):
                V3 <nB nA> + Re[t3 (<cB cpA> + h.c.)]
 
-All expectation values are evaluated on raw graded RDMs from the
-abelian CTM (:mod:`tpeps.ctm.generic_abelian.rdm` with ``raw=True``);
-fermionic ordering/anticommutation is carried by the Grassmann-graded
-tensor algebra (no swap gates).
+Evaluation runs through the fermionic double-layer CTM
+(:mod:`tpeps.ctm.generic.dl` + :mod:`tpeps.ctm.generic.dl_fermi`):
+the graded on-site tensor is compiled once into sign-dressed bosonic
+double tensors (norm, open, and per-geometry string-dressed open
+variants), the standard dl CTMRG converges the environment, and every
+expectation value is a plain dense contraction of a dl RDM with the
+operators' dense matrices.  The dressings are exact — solved and
+verified against brute-force Grassmann oracles (see
+tests/test_fermionic_dl.py) — so no swap gates or graded arithmetic
+appear anywhere in the hot path.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from ...ctm.generic_abelian import rdm as ardm
-from ...groups.fermions import SpinfulFermionsU1, as_bosonic, expval1, expval_pair
-from ...ipeps.ipeps_abelian import IPEPS_ABELIAN
+from ...ctm.generic.dl import (
+    init_env_dl,
+    rdm1x1_dl,
+    rdm1x2_dl,
+    rdm2x1_dl,
+    rdm2x2_anti_dl,
+    rdm2x2_diag_dl,
+    run_dl,
+)
+from ...ctm.generic.dl_fermi import (
+    PAIR_FOCK_SIGN,
+    PAIR_STRINGS,
+    double_tensor,
+    double_tensor_open,
+)
+from ...groups.fermions import SpinfulFermionsU1
 
 
-def _bosonic_state(state):
-    """Bosonic view of a (possibly graded) abelian iPEPS: the RDM patch
-    and the environment are contracted bosonically (term-wise equal to
-    the graded network, see tpeps.groups.fermions.expval1)."""
-    sites = {c: as_bosonic(t) for c, t in state.sites.items()}
-    return IPEPS_ABELIAN(state.sym, sites, state.vertexToSite, state.lX, state.lY)
+def _dense(op):
+    """Dense matrix of a 2-leg graded operator in the phys basis."""
+    return np.asarray(op.to_dense())
 
 
 class TVModel:
+    """t-V model evaluated over the fermionic double-layer CTM.
+
+    Usage::
+
+        model = TVModel(t1=..., t2=..., t3=..., phi=...)
+        E = model.build_E(a)                       # graded a[s,u,l,d,r]
+        env, hist = run_dl(E, init_env_dl(E, chi), ctm_cfg)
+        e = model.energy_per_site(a, env)
+        obs = model.eval_obs(a, env)
+    """
+
     def __init__(self, V1=0.0, V2=0.0, V3=0.0, t1=1.0, t2=0.0, t3=0.0,
                  phi=0.0, mu=0.0, m=0.0, shift=-1):
         self.V1, self.V2, self.V3 = V1, V2, V3
@@ -55,110 +82,147 @@ class TVModel:
         self.phi, self.mu, self.m = phi, mu, m
         sf = SpinfulFermionsU1(shift=shift)
         self.sf = sf
-        self.I = sf.I()
-        self.nA, self.nB = sf.n("u"), sf.n("d")
-        self.cA, self.cpA = sf.c("u"), sf.cp("u")
-        self.cB, self.cpB = sf.c("d"), sf.cp("d")
-        # onsite operator (tv_model.py:120-125)
-        mm = sf.matmul
+        self.I = _dense(sf.I())
+        self.nA, self.nB = _dense(sf.n("u")), _dense(sf.n("d"))
+        self.cA, self.cpA = _dense(sf.c("u")), _dense(sf.cp("u"))
+        self.cB, self.cpB = _dense(sf.c("d")), _dense(sf.cp("d"))
+        mm = lambda a, b: a @ b  # noqa: E731
         self.h_onsite = (
             V1 * mm(self.nA, self.nB)
             + (-mu) * (self.nA + self.nB)
             + (-t1) * (mm(self.cpA, self.cB) + mm(self.cpB, self.cA))
-            + m * (self.nA + (-1.0) * self.nB)
+            + m * (self.nA - self.nB)
         )
 
+    # ------------------------------------------------------- compilation
+    def build_E(self, a):
+        """Closed fermionic double tensor of the (graded) on-site
+        tensor — the dl CTM input."""
+        return double_tensor(a)
+
+    def converge(self, a, chi, ctm_cfg):
+        E = self.build_E(a)
+        return run_dl(E, init_env_dl(E, chi), ctm_cfg)
+
+    def _rhos(self, a, env):
+        E = double_tensor(a)
+        Eo = double_tensor_open(a)
+        rhos = {"1": np.asarray(rdm1x1_dl(Eo, env)),
+                "h": np.asarray(rdm2x1_dl(Eo, env)),
+                "v": np.asarray(rdm1x2_dl(Eo, env)),
+                "diag": np.asarray(rdm2x2_diag_dl(Eo, E, env)),
+                "anti": np.asarray(rdm2x2_anti_dl(Eo, E, env))}
+        fns = {"h": rdm2x1_dl, "v": rdm1x2_dl}
+        for g in ("h", "v"):
+            si, sj = PAIR_STRINGS[g]
+            rhos[g + "_odd"] = np.asarray(
+                fns[g](double_tensor_open(a, si), env,
+                       double_tensor_open(a, sj)))
+        si, sj = PAIR_STRINGS["diag"]
+        rhos["diag_odd"] = np.asarray(rdm2x2_diag_dl(
+            double_tensor_open(a, si), E, env, double_tensor_open(a, sj)))
+        si, sj = PAIR_STRINGS["anti"]
+        rhos["anti_odd"] = np.asarray(rdm2x2_anti_dl(
+            double_tensor_open(a, si), E, env, double_tensor_open(a, sj)))
+        return rhos
+
     # ------------------------------------------------------------ energy
-    def energy_per_site(self, state, env):
-        """Energy per square-lattice site (= per two honeycomb sites),
-        averaged over the unit cell (reference tv_model.py:64-237)."""
-        e_tot = 0.0
+    @staticmethod
+    def _pair(rho, O0, O1):
+        return np.einsum("abef,ba,fe->", rho, O0, O1)
+
+    def energy_per_site(self, a, env, rhos=None):
+        """Energy per square-lattice site (= per two honeycomb sites);
+        1x1 unit cell (reference tv_model.py:64-237)."""
+        r = self._rhos(a, env) if rhos is None else rhos
         t2p = self.t2 * np.exp(1j * self.phi)
-        use_2x2 = any(x != 0 for x in (self.V2, self.V3, self.t2, self.t3))
-        state = _bosonic_state(state)
-        for c in state.sites:
-            # --- onsite
-            r1 = ardm.rdm1x1(c, state, env, raw=True)
-            nrm1 = expval1(r1, self.I)
-            e = expval1(r1, self.h_onsite) / nrm1
 
-            # --- horizontal bond (c, c+x)
-            rh = ardm.rdm2x1(c, state, env, raw=True)
-            nrm = expval_pair(rh, self.I, self.I)
+        rho1 = r["1"]
+        e = np.einsum("ab,ba->", rho1, self.h_onsite) / np.trace(rho1)
 
-            def mh(o0, o1):
-                return expval_pair(rh, o0, o1) / nrm
+        # --- horizontal bond (c, c+x)
+        nrm = self._pair(r["h"], self.I, self.I)
 
-            e += self.V1 * mh(self.nB, self.nA)
-            e += self.V2 * (mh(self.nB, self.nB) + mh(self.nA, self.nA))
-            res = self.t1 * mh(self.cB, self.cpA)
-            e += res + np.conj(res)
-            res = t2p * mh(self.cA, self.cpA)
+        def mh(o0, o1, odd=False):
+            if odd:
+                return PAIR_FOCK_SIGN["h"] * self._pair(r["h_odd"], o0, o1) / nrm
+            return self._pair(r["h"], o0, o1) / nrm
+
+        e += self.V1 * mh(self.nB, self.nA)
+        e += self.V2 * (mh(self.nB, self.nB) + mh(self.nA, self.nA))
+        res = self.t1 * mh(self.cB, self.cpA, odd=True)
+        e += res + np.conj(res)
+        res = t2p * mh(self.cA, self.cpA, odd=True)
+        e += (res + np.conj(res)).real
+        res = -t2p * mh(self.cpB, self.cB, odd=True)
+        e += (res + np.conj(res)).real
+
+        # --- vertical bond (c, c+y)
+        nrm = self._pair(r["v"], self.I, self.I)
+
+        def mv(o0, o1, odd=False):
+            if odd:
+                return PAIR_FOCK_SIGN["v"] * self._pair(r["v_odd"], o0, o1) / nrm
+            return self._pair(r["v"], o0, o1) / nrm
+
+        e += self.V1 * mv(self.nA, self.nB)
+        e += self.V2 * (mv(self.nB, self.nB) + mv(self.nA, self.nA))
+        res = -self.t1 * mv(self.cpA, self.cB, odd=True)
+        e += (res + np.conj(res)).real
+        res = t2p * mv(self.cA, self.cpA, odd=True)
+        e += (res + np.conj(res)).real
+        res = -t2p * mv(self.cpB, self.cB, odd=True)
+        e += (res + np.conj(res)).real
+
+        if any(x != 0 for x in (self.V2, self.V3, self.t2, self.t3)):
+            # --- diagonal (c, c+(1,1)); upper-left site first
+            nrm = self._pair(r["diag"], self.I, self.I)
+
+            def md(o0, o1, odd=False):
+                if odd:
+                    return PAIR_FOCK_SIGN["diag"] * self._pair(
+                        r["diag_odd"], o0, o1) / nrm
+                return self._pair(r["diag"], o0, o1) / nrm
+
+            e += self.V2 * (md(self.nA, self.nA) + md(self.nB, self.nB))
+            e += self.V3 * (md(self.nA, self.nB) + md(self.nB, self.nA))
+            res = -t2p * md(self.cpA, self.cA, odd=True)
             e += (res + np.conj(res)).real
-            res = -t2p * mh(self.cpB, self.cB)
+            res = t2p * md(self.cB, self.cpB, odd=True)
+            e += (res + np.conj(res)).real
+            res = self.t3 * md(self.cB, self.cpA, odd=True)
+            e += (res + np.conj(res)).real
+            res = self.t3 * md(self.cA, self.cpB, odd=True)
             e += (res + np.conj(res)).real
 
-            # --- vertical bond (c, c+y)
-            rv = ardm.rdm1x2(c, state, env, raw=True)
-            nrm = expval_pair(rv, self.I, self.I)
+            # --- anti-diagonal pair (c+(0,1), c+(1,0)); the dl RDM
+            # orders (upper-right, lower-left), the reference's
+            # [site_b, site_r] = (lower-left, upper-right) order is the
+            # REVERSE: swap even ops freely, odd pairs anticommute.
+            nrm = self._pair(r["anti"], self.I, self.I)
 
-            def mv(o0, o1):
-                return expval_pair(rv, o0, o1) / nrm
+            def ma_rev(o_ll, o_ur, odd):
+                if odd:
+                    # physical <O_ur O_ll> then anticommuted to the
+                    # reference's (lower-left, upper-right) order
+                    v = PAIR_FOCK_SIGN["anti"] * self._pair(
+                        r["anti_odd"], o_ur, o_ll) / nrm
+                    return -v
+                return self._pair(r["anti"], o_ur, o_ll) / nrm
 
-            e += self.V1 * mv(self.nA, self.nB)
-            e += self.V2 * (mv(self.nB, self.nB) + mv(self.nA, self.nA))
-            res = -self.t1 * mv(self.cpA, self.cB)
+            e += self.V3 * ma_rev(self.nB, self.nA, odd=False)
+            res = self.t3 * ma_rev(self.cB, self.cpA, odd=True)
             e += (res + np.conj(res)).real
-            res = t2p * mv(self.cA, self.cpA)
-            e += (res + np.conj(res)).real
-            res = -t2p * mv(self.cpB, self.cB)
-            e += (res + np.conj(res)).real
 
-            if use_2x2:
-                # --- diagonal (c, c+(1,1)); raw order: upper-left first
-                rd = ardm.rdm2x2_NNN_11(c, state, env, raw=True)
-                nrm = expval_pair(rd, self.I, self.I)
-
-                def md(o0, o1):
-                    return expval_pair(rd, o0, o1) / nrm
-
-                e += self.V2 * (md(self.nA, self.nA) + md(self.nB, self.nB))
-                e += self.V3 * (md(self.nA, self.nB) + md(self.nB, self.nA))
-                res = -t2p * md(self.cpA, self.cA)
-                e += (res + np.conj(res)).real
-                res = t2p * md(self.cB, self.cpB)
-                e += (res + np.conj(res)).real
-                res = self.t3 * md(self.cB, self.cpA)
-                e += (res + np.conj(res)).real
-                res = self.t3 * md(self.cA, self.cpB)
-                e += (res + np.conj(res)).real
-
-                # --- anti-diagonal pair (c+(0,1), c+(1,0)); the raw RDM
-                # orders (upper-right, lower-left) so the reference's
-                # [site_b, site_r] = (lower-left, upper-right) order is
-                # the REVERSE: swap even ops freely, odd pairs
-                # anticommute (explicit minus).
-                ra = ardm.rdm2x2_NNN_1n1((c[0], c[1] + 1), state, env, raw=True)
-                nrm = expval_pair(ra, self.I, self.I)
-
-                def ma_rev(o_ll, o_ur, odd):
-                    v = expval_pair(ra, o_ur, o_ll) / nrm
-                    return -v if odd else v
-
-                e += self.V3 * ma_rev(self.nB, self.nA, odd=False)
-                res = self.t3 * ma_rev(self.cB, self.cpA, odd=True)
-                e += (res + np.conj(res)).real
-
-            e_tot += e.real if isinstance(e, complex) else float(np.real(e))
-        return e_tot / len(state.sites)
+        return complex(e).real
 
     # --------------------------------------------------------------- obs
-    def eval_obs(self, state, env):
-        obs = {}
-        state = _bosonic_state(state)
-        for c in state.sites:
-            r1 = ardm.rdm1x1(c, state, env, raw=True)
-            nrm = expval1(r1, self.I)
-            obs[f"nA_{c}"] = (expval1(r1, self.nA) / nrm).real
-            obs[f"nB_{c}"] = (expval1(r1, self.nB) / nrm).real
+    def eval_obs(self, a, env):
+        Eo = double_tensor_open(a)
+        rho1 = np.asarray(rdm1x1_dl(Eo, env))
+        nrm = np.trace(rho1)
+        obs = {
+            "nA_(0, 0)": (np.einsum("ab,ba->", rho1, self.nA) / nrm).real,
+            "nB_(0, 0)": (np.einsum("ab,ba->", rho1, self.nB) / nrm).real,
+        }
         return obs
