@@ -147,3 +147,47 @@ class TestRSVD:
         key = jax.random.PRNGKey(0)
         U, S, V = rsvd(key, A, 8, n_iter=3)
         assert np.allclose(np.asarray(S), s[:8], rtol=1e-8)
+
+
+def test_svd_reg_complex_grad():
+    """svd_reg's AD must be correct for COMPLEX matrices (the previous
+    hand-ported torch backward was real-only correct: torch and jax use
+    different complex cotangent conventions).  FD check on a
+    projector-style loss, real + complex + rectangular."""
+    import numpy as np
+
+    from tpeps.linalg.svd import svd_reg, truncated_svd
+
+    rng = np.random.default_rng(5)
+
+    def loss_proj(A):
+        U, S, Vh = truncated_svd(A, 3)
+        P = (A @ jnp.conj(U)) * jax.lax.rsqrt(S)[None, :]
+        M = jnp.asarray(np.arange(A.shape[0] ** 2,
+                                  dtype=float).reshape(A.shape[0], -1))
+        return jnp.real(jnp.trace(P.conj().T @ M @ P))
+
+    def loss_trunc(A):
+        U, S, Vh = svd_reg(A, 1e-12)
+        At = (U[:, :3] * S[:3][None, :]) @ Vh[:3]
+        return jnp.real(jnp.sum(jnp.abs(At) ** 2))
+
+    cases = [
+        ("real", jnp.asarray(rng.standard_normal((6, 6)))),
+        ("complex", jnp.asarray(rng.standard_normal((6, 6))
+                                + 1j * rng.standard_normal((6, 6)))),
+    ]
+    for label, A0 in cases:
+        for loss in (loss_proj, loss_trunc):
+            val, grad = jax.value_and_grad(loss)(A0)
+            for (i, j) in [(0, 0), (1, 2), (3, 4)]:
+                eps = 1e-6
+                dA = jnp.zeros_like(A0).at[i, j].set(eps)
+                fd = (float(loss(A0 + dA)) - float(loss(A0 - dA))) / (2 * eps)
+                assert abs(fd - float(jnp.real(grad[i, j]))) < 1e-5, label
+                if jnp.iscomplexobj(A0):
+                    dAi = jnp.zeros_like(A0).at[i, j].set(1j * eps)
+                    fdi = (float(loss(A0 + dAi))
+                           - float(loss(A0 - dAi))) / (2 * eps)
+                    # jax convention: grad = dL/dz, so d/d(Im) = -Im(g)
+                    assert abs(fdi + float(jnp.imag(grad[i, j]))) < 1e-5, label

@@ -214,6 +214,38 @@ def run_dl(E, env: ENV, ctm_cfg):
     return env, history
 
 
+def run_dl_differentiable(E, env: ENV, ctm_cfg):
+    """Differentiable converged dl environment (mirror of
+    ``ctmrg.run_differentiable``): stop-gradient the converged ``env``,
+    then a checkpointed ``lax.scan`` over ``grad_tail_iter`` full
+    sweeps carrying gradients from ``E`` (truncated
+    backprop-through-CTMRG)."""
+    from jax import lax
+
+    proj_kwargs = dict(
+        svd_reltol=ctm_cfg.projector_svd_reltol,
+        eps_multiplet=ctm_cfg.projector_eps_multiplet,
+        multiplet_abstol=ctm_cfg.projector_multiplet_abstol,
+        ad_decomp_reg=ctm_cfg.ad_decomp_reg,
+    )
+    chi = env.chi
+    C0 = jax.tree_util.tree_map(jax.lax.stop_gradient, dict(env.C))
+    T0 = jax.tree_util.tree_map(jax.lax.stop_gradient, dict(env.T))
+
+    def step(carry, _):
+        C, T = carry
+        e = ENV(chi)
+        e.C, e.T = C, T
+        e2 = ctm_move_dl(E, e, chi, proj_kwargs)
+        return (dict(e2.C), dict(e2.T)), None
+
+    (C, T), _ = lax.scan(jax.checkpoint(step), (C0, T0), None,
+                         length=ctm_cfg.grad_tail_iter)
+    out = ENV(chi)
+    out.C, out.T = C, T
+    return out
+
+
 def rdm1x1_dl(E_open, env: ENV):
     """Unnormalized rho[s, z] from an open double tensor
     ``E_open[s, z, U, L, D, R]``."""

@@ -94,7 +94,24 @@ def _sign_mask(P, phys_idx=0):
     return m
 
 
-def double_tensor(a, op=None):
+def dense_embed(a, blocks=None):
+    """jax-traceable dense embedding of a graded tensor (same placement
+    as ``AbelianTensor.to_dense``); ``blocks`` overrides ``a.blocks`` —
+    the hook for AD: pass the block dict as differentiable parameters
+    and the whole double-tensor construction traces through."""
+    blocks = a.blocks if blocks is None else blocks
+    shape = tuple(l.total_dim() for l in a.legs)
+    out = jnp.zeros(shape, dtype=a.dtype)
+    for qs, b in blocks.items():
+        sl = tuple(
+            slice(l.offset(q), l.offset(q) + l.dims[q])
+            for l, q in zip(a.legs, qs)
+        )
+        out = out.at[sl].set(b)
+    return out
+
+
+def double_tensor(a, op=None, blocks=None):
     """Closed (or 1-site-operator) fermionic double tensor.
 
     :param a: graded on-site tensor, legs (s,u,l,d,r).
@@ -102,19 +119,22 @@ def double_tensor(a, op=None):
         ``(d_out, d_in)`` matrix in the same dense phys basis; fermionic
         parity-odd operators need a string and are handled at the RDM
         level.
+    :param blocks: optional override of ``a.blocks`` (jnp arrays) — the
+        construction is jax-traceable, so this supports AD through the
+        double layer.
     :return: dense jnp array, legs (u l d r) fused ket-major (D*D').
     """
-    Ad = np.asarray(a.to_dense())
+    Ad = dense_embed(a, blocks)
     P = leg_parities(a)
-    B = np.conj(Ad)
+    B = jnp.conj(Ad)
     if op is not None:
-        Ad = np.einsum("zs,suldr->zuldr", np.asarray(op), Ad)
-    E9 = np.einsum("suldr,zabce->suldrzabce", Ad, B)
+        Ad = jnp.einsum("zs,suldr->zuldr", jnp.asarray(op), Ad)
+    E9 = jnp.einsum("suldr,zabce->suldrzabce", Ad, B)
     E9 = E9 * _sign_mask(P)
-    E = np.einsum("suldrsabce->uldrabce", E9).transpose(0, 4, 1, 5, 2, 6, 3, 7)
+    E = jnp.einsum("suldrsabce->uldrabce", E9).transpose(0, 4, 1, 5, 2, 6, 3, 7)
     sh = E.shape
     E = E.reshape(sh[0] * sh[1], sh[2] * sh[3], sh[4] * sh[5], sh[6] * sh[7])
-    return jnp.asarray(E)
+    return E
 
 
 #: Fermionic string dressings for two-point insertions, solved by the
@@ -155,7 +175,7 @@ _LEG_IDX = {"uk": 1, "lk": 2, "dk": 3, "rk": 4,
             "ub": 6, "lb": 7, "db": 8, "rb": 9}
 
 
-def double_tensor_open(a, string=()):
+def double_tensor_open(a, string=(), blocks=None):
     """Phys-open fermionic double tensor, legs (s, z, U, L, D, R) with
     the aux pairs fused; contract with parity-even operators via
     :func:`tpeps.ctm.generic.dl.rdm1x1_dl`, or — with the per-geometry
@@ -164,12 +184,13 @@ def double_tensor_open(a, string=()):
 
     ``string`` names aux legs (``"uk"`` = up-ket, ``"db"`` = down-bra,
     ...) that receive the extra odd-insertion factor
-    ``(-1)^{(p_s + p_z) p_leg}``.
+    ``(-1)^{(p_s + p_z) p_leg}``.  jax-traceable; ``blocks`` as in
+    :func:`double_tensor`.
     """
-    Ad = np.asarray(a.to_dense())
+    Ad = dense_embed(a, blocks)
     P = leg_parities(a)
-    B = np.conj(Ad)
-    E9 = np.einsum("suldr,zabce->suldrzabce", Ad, B)
+    B = jnp.conj(Ad)
+    E9 = jnp.einsum("suldr,zabce->suldrzabce", Ad, B)
     m = _sign_mask(P, phys_idx=5)
     if string:
         def ax(v, i):
@@ -187,4 +208,4 @@ def double_tensor_open(a, string=()):
     sh = E.shape
     E = E.reshape(sh[0], sh[1], sh[2] * sh[3], sh[4] * sh[5],
                   sh[6] * sh[7], sh[8] * sh[9])
-    return jnp.asarray(E)
+    return E

@@ -34,14 +34,29 @@ def _hard_inverse(x, epsilon):
     return jnp.where(jnp.abs(x) < epsilon, 0.0, 1.0 / jnp.where(jnp.abs(x) < epsilon, 1.0, x))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1,))
 def svd_reg(A, eps: float = 1.0e-12):
-    """Reduced SVD ``A = U diag(S) V^H`` with regularized backward.
+    """Reduced SVD ``A = U diag(S) V^H`` with gap-regularized AD.
+
+    The differentiation rule is EXACTLY jax's native complex-aware SVD
+    JVP (lax/linalg.py ``_svd_jvp_rule`` — including the skew/phase
+    diagonal term that complex SVD needs), with the two singular
+    inverses regularized:
+
+    * the gap inverse ``1/(s_j^2 - s_i^2)`` as a Lorentzian with width
+      ``eps * S[0]^2`` (reference arXiv:1903.09650 /
+      CTMARGS_ad_decomp_reg),
+    * ``1/s`` hard-zeroed below ``eps * S[0]``.
+
+    Reverse mode comes from jax's automatic transposition of the
+    (linear-in-tangent) JVP, so forward and reverse AD agree by
+    construction.  A hand-ported torch backward formula used here
+    previously was correct for real input but wrong for complex input
+    (framework cotangent-convention mismatch); see
+    ``tests/test_linalg.py::test_svd_reg_complex_grad``.
 
     :param A: matrix ``(m, n)``
-    :param eps: relative regularization scale (reference
-        CTMARGS_ad_decomp_reg); gap inverses are regularized at
-        ``S[0] * eps``.
+    :param eps: relative regularization scale
     :return: ``(U, S, Vh)`` with ``S`` descending, shapes
         ``(m, k), (k,), (k, n)``, ``k = min(m, n)``.
     """
@@ -49,58 +64,42 @@ def svd_reg(A, eps: float = 1.0e-12):
     return U, S, Vh
 
 
-def _svd_reg_fwd(A, eps):
-    U, S, Vh = svd_reg(A, eps)
-    return (U, S, Vh), (U, S, Vh)
+@svd_reg.defjvp
+def _svd_reg_jvp(eps, primals, tangents):
+    (A,) = primals
+    (dA,) = tangents
+    U, s, Vt = jnp.linalg.svd(A, full_matrices=False)
+    V = Vt.conj().T
+    Ut = U.conj().T
 
+    s_dim = s[None, :]
+    dS = Ut @ dA @ V
+    ds = jnp.real(jnp.diagonal(dS))
 
-def _svd_reg_bwd(eps, res, grads):
-    U, S, Vh = res
-    gU, gS, gVh = grads
-    V = Vh.conj().T
-    gV = gVh.conj().T
-    m, k = U.shape
-    n = V.shape[0]
-    Uh = U.conj().T
-
-    sigma_scale = S[0]
-    epsS = sigma_scale * eps
-    S_inv = _hard_inverse(S, epsS)
-
-    F = S[None, :] - S[:, None]
-    F = safe_inverse(F, epsS)
+    s0 = s[0]
+    # regularized 1/(s_j^2 - s_i^2)
+    s_diffs = (s_dim + s_dim.T) * (s_dim - s_dim.T)
+    w = (eps * s0) ** 2
+    F = s_diffs / (s_diffs * s_diffs + w * w)
     F = F - jnp.diag(jnp.diag(F))
-    G = S[None, :] + S[:, None]
-    G = safe_inverse(G, epsS)
-    G = G - jnp.diag(jnp.diag(G))
-    F = F.astype(U.dtype)
-    G = G.astype(U.dtype)
+    # regularized 1/s
+    s_inv = _hard_inverse(s, eps * s0)
 
-    sigma_term = (U * gS.astype(U.dtype)[None, :]) @ Vh
+    dSS = s_dim.astype(A.dtype) * dS
+    SdS = s_dim.T.astype(A.dtype) * dS
+    dUdV_diag = 0.5 * (dS - dS.conj().T) * jnp.diag(s_inv).astype(A.dtype)
+    dU = U @ (F.astype(A.dtype) * (dSS + dSS.conj().T) + dUdV_diag)
+    dV = V @ (F.astype(A.dtype) * (SdS + SdS.conj().T))
 
-    UhgU = Uh @ gU
-    u_term = U @ ((F + G) * (UhgU - UhgU.conj().T)) * 0.5
-    if m > k:
-        proj_u_perp = jnp.eye(m, dtype=U.dtype) - U @ Uh
-        u_term = u_term + proj_u_perp @ (gU * S_inv.astype(U.dtype)[None, :])
-    u_term = u_term @ Vh
+    m, n = A.shape
+    if m > n:
+        dAV = dA @ V
+        dU = dU + (dAV - U @ (Ut @ dAV)) * s_inv[None, :].astype(A.dtype)
+    if n > m:
+        dAHU = dA.conj().T @ U
+        dV = dV + (dAHU - V @ (Vt @ dAHU)) * s_inv[None, :].astype(A.dtype)
 
-    VhgV = Vh @ gV
-    v_term = ((F - G) * (VhgV - VhgV.conj().T)) @ Vh * 0.5
-    if n > k:
-        proj_v_perp = jnp.eye(n, dtype=V.dtype) - V @ Vh
-        v_term = v_term + S_inv.astype(U.dtype)[:, None] * (gV.conj().T @ proj_v_perp)
-    v_term = U @ v_term
-
-    dA = u_term + sigma_term + v_term
-    if jnp.iscomplexobj(U):
-        # complex phase-gauge term (reference svd_gesdd.py:320-327)
-        L = 1j * jnp.imag(jnp.diag(UhgU)) * S_inv
-        dA = dA + (U * L[None, :]) @ Vh
-    return (dA,)
-
-
-svd_reg.defvjp(_svd_reg_fwd, _svd_reg_bwd)
+    return (U, s, Vt), (dU, ds, dV.conj().T)
 
 
 def fix_svd_signs(U, Vh):

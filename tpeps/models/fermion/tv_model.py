@@ -38,6 +38,7 @@ appear anywhere in the hot path.
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 from ...ctm.generic.dl import (
@@ -104,41 +105,46 @@ class TVModel:
         E = self.build_E(a)
         return run_dl(E, init_env_dl(E, chi), ctm_cfg)
 
-    def _rhos(self, a, env):
-        E = double_tensor(a)
-        Eo = double_tensor_open(a)
-        rhos = {"1": np.asarray(rdm1x1_dl(Eo, env)),
-                "h": np.asarray(rdm2x1_dl(Eo, env)),
-                "v": np.asarray(rdm1x2_dl(Eo, env)),
-                "diag": np.asarray(rdm2x2_diag_dl(Eo, E, env)),
-                "anti": np.asarray(rdm2x2_anti_dl(Eo, E, env))}
+    def _rhos(self, a, env, blocks=None):
+        """All RDMs needed by the energy; jax-traceable (pass
+        ``blocks`` to differentiate w.r.t. the on-site tensor)."""
+        E = double_tensor(a, blocks=blocks)
+        Eo = double_tensor_open(a, blocks=blocks)
+        rhos = {"1": rdm1x1_dl(Eo, env),
+                "h": rdm2x1_dl(Eo, env),
+                "v": rdm1x2_dl(Eo, env),
+                "diag": rdm2x2_diag_dl(Eo, E, env),
+                "anti": rdm2x2_anti_dl(Eo, E, env)}
         fns = {"h": rdm2x1_dl, "v": rdm1x2_dl}
         for g in ("h", "v"):
             si, sj = PAIR_STRINGS[g]
-            rhos[g + "_odd"] = np.asarray(
-                fns[g](double_tensor_open(a, si), env,
-                       double_tensor_open(a, sj)))
+            rhos[g + "_odd"] = fns[g](
+                double_tensor_open(a, si, blocks=blocks), env,
+                double_tensor_open(a, sj, blocks=blocks))
         si, sj = PAIR_STRINGS["diag"]
-        rhos["diag_odd"] = np.asarray(rdm2x2_diag_dl(
-            double_tensor_open(a, si), E, env, double_tensor_open(a, sj)))
+        rhos["diag_odd"] = rdm2x2_diag_dl(
+            double_tensor_open(a, si, blocks=blocks), E, env,
+            double_tensor_open(a, sj, blocks=blocks))
         si, sj = PAIR_STRINGS["anti"]
-        rhos["anti_odd"] = np.asarray(rdm2x2_anti_dl(
-            double_tensor_open(a, si), E, env, double_tensor_open(a, sj)))
+        rhos["anti_odd"] = rdm2x2_anti_dl(
+            double_tensor_open(a, si, blocks=blocks), E, env,
+            double_tensor_open(a, sj, blocks=blocks))
         return rhos
 
     # ------------------------------------------------------------ energy
     @staticmethod
     def _pair(rho, O0, O1):
-        return np.einsum("abef,ba,fe->", rho, O0, O1)
+        return jnp.einsum("abef,ba,fe->", rho, jnp.asarray(O0), jnp.asarray(O1))
 
-    def energy_per_site(self, a, env, rhos=None):
+    def energy_per_site(self, a, env, rhos=None, blocks=None):
         """Energy per square-lattice site (= per two honeycomb sites);
-        1x1 unit cell (reference tv_model.py:64-237)."""
-        r = self._rhos(a, env) if rhos is None else rhos
+        1x1 unit cell (reference tv_model.py:64-237).  jax-traceable
+        (pass ``blocks`` for AD w.r.t. the on-site tensor)."""
+        r = self._rhos(a, env, blocks=blocks) if rhos is None else rhos
         t2p = self.t2 * np.exp(1j * self.phi)
 
         rho1 = r["1"]
-        e = np.einsum("ab,ba->", rho1, self.h_onsite) / np.trace(rho1)
+        e = jnp.einsum("ab,ba->", rho1, jnp.asarray(self.h_onsite)) / jnp.trace(rho1)
 
         # --- horizontal bond (c, c+x)
         nrm = self._pair(r["h"], self.I, self.I)
@@ -151,11 +157,11 @@ class TVModel:
         e += self.V1 * mh(self.nB, self.nA)
         e += self.V2 * (mh(self.nB, self.nB) + mh(self.nA, self.nA))
         res = self.t1 * mh(self.cB, self.cpA, odd=True)
-        e += res + np.conj(res)
+        e += res + jnp.conj(res)
         res = t2p * mh(self.cA, self.cpA, odd=True)
-        e += (res + np.conj(res)).real
+        e += (res + jnp.conj(res)).real
         res = -t2p * mh(self.cpB, self.cB, odd=True)
-        e += (res + np.conj(res)).real
+        e += (res + jnp.conj(res)).real
 
         # --- vertical bond (c, c+y)
         nrm = self._pair(r["v"], self.I, self.I)
@@ -168,11 +174,11 @@ class TVModel:
         e += self.V1 * mv(self.nA, self.nB)
         e += self.V2 * (mv(self.nB, self.nB) + mv(self.nA, self.nA))
         res = -self.t1 * mv(self.cpA, self.cB, odd=True)
-        e += (res + np.conj(res)).real
+        e += (res + jnp.conj(res)).real
         res = t2p * mv(self.cA, self.cpA, odd=True)
-        e += (res + np.conj(res)).real
+        e += (res + jnp.conj(res)).real
         res = -t2p * mv(self.cpB, self.cB, odd=True)
-        e += (res + np.conj(res)).real
+        e += (res + jnp.conj(res)).real
 
         if any(x != 0 for x in (self.V2, self.V3, self.t2, self.t3)):
             # --- diagonal (c, c+(1,1)); upper-left site first
@@ -187,13 +193,13 @@ class TVModel:
             e += self.V2 * (md(self.nA, self.nA) + md(self.nB, self.nB))
             e += self.V3 * (md(self.nA, self.nB) + md(self.nB, self.nA))
             res = -t2p * md(self.cpA, self.cA, odd=True)
-            e += (res + np.conj(res)).real
+            e += (res + jnp.conj(res)).real
             res = t2p * md(self.cB, self.cpB, odd=True)
-            e += (res + np.conj(res)).real
+            e += (res + jnp.conj(res)).real
             res = self.t3 * md(self.cB, self.cpA, odd=True)
-            e += (res + np.conj(res)).real
+            e += (res + jnp.conj(res)).real
             res = self.t3 * md(self.cA, self.cpB, odd=True)
-            e += (res + np.conj(res)).real
+            e += (res + jnp.conj(res)).real
 
             # --- anti-diagonal pair (c+(0,1), c+(1,0)); the dl RDM
             # orders (upper-right, lower-left), the reference's
@@ -212,17 +218,19 @@ class TVModel:
 
             e += self.V3 * ma_rev(self.nB, self.nA, odd=False)
             res = self.t3 * ma_rev(self.cB, self.cpA, odd=True)
-            e += (res + np.conj(res)).real
+            e += (res + jnp.conj(res)).real
 
-        return complex(e).real
+        return jnp.real(e)
 
     # --------------------------------------------------------------- obs
-    def eval_obs(self, a, env):
-        Eo = double_tensor_open(a)
-        rho1 = np.asarray(rdm1x1_dl(Eo, env))
-        nrm = np.trace(rho1)
+    def eval_obs(self, a, env, blocks=None):
+        Eo = double_tensor_open(a, blocks=blocks)
+        rho1 = rdm1x1_dl(Eo, env)
+        nrm = jnp.trace(rho1)
         obs = {
-            "nA_(0, 0)": (np.einsum("ab,ba->", rho1, self.nA) / nrm).real,
-            "nB_(0, 0)": (np.einsum("ab,ba->", rho1, self.nB) / nrm).real,
+            "nA_(0, 0)": jnp.real(
+                jnp.einsum("ab,ba->", rho1, jnp.asarray(self.nA)) / nrm),
+            "nB_(0, 0)": jnp.real(
+                jnp.einsum("ab,ba->", rho1, jnp.asarray(self.nB)) / nrm),
         }
         return obs
