@@ -365,3 +365,54 @@ def test_dl_rdm2_matches_sl():
     # anti-dl output is (upper-right, lower-left) — same order as
     # open_sites=(1, 2)
     assert np.abs(anti_g - nrm_sl(anti_w)).max() < 1e-7
+
+
+def test_obc_env_init():
+    """CTMRG_OBC initialization (reference env.py:538-660): |+>-product
+    boundary closure; converges to the same fixed point as the
+    PBC-traced init."""
+    import jax
+
+    from tpeps.ctm.generic import rdm as rdm_sl
+    from tpeps.ctm.generic.ctmrg import run as run_ctm
+    from tpeps.ctm.generic.env import init_env
+    from tpeps.ipeps.ipeps import IPEPS
+
+    key = jax.random.PRNGKey(3)
+    a = jax.random.uniform(key, (2, 2, 2, 2, 2), dtype=jnp.float64) - 0.5
+    st = IPEPS({(0, 0): a})
+    cfg = CtmArgs(ctm_max_iter=80, ctm_conv_tol=1e-10)
+    vals = {}
+    for init in ("CTMRG", "CTMRG_OBC"):
+        env = init_env(st, 12, init)
+        env, _ = run_ctm(st, env, cfg)
+        rho = np.array(rdm_sl.rdm1x1((0, 0), st.sites, st.vertexToSite,
+                                     env.C, env.T))
+        vals[init] = rho / np.trace(rho)
+    assert np.abs(vals["CTMRG"] - vals["CTMRG_OBC"]).max() < 1e-9
+
+
+def test_projector_method_4x2():
+    """4X2 projector mode (reference ctm_projectors.py:66-140): half-
+    cost projectors from two enlarged corners; converges to the same
+    physics as 4X4 (small finite-chi differences are expected — the
+    schemes truncate differently)."""
+    from tpeps.ctm.generic import rdm as rdm_sl
+    from tpeps.ctm.generic.ctmrg import run as run_ctm
+    from tpeps.ctm.generic.env import init_env
+    from tpeps.ipeps.ipeps import IPEPS
+
+    key = jax.random.PRNGKey(3)
+    a = jax.random.uniform(key, (2, 2, 2, 2, 2), dtype=jnp.float64) - 0.5
+    st = IPEPS({(0, 0): a})
+    vals = {}
+    for pm in ("4X4", "4X2"):
+        cfg = CtmArgs(ctm_max_iter=120, ctm_conv_tol=1e-10,
+                      projector_method=pm)
+        env = init_env(st, 12, "CTMRG")
+        env, hist = run_ctm(st, env, cfg)
+        assert hist["conv_crit"][-1] < 1e-10
+        rho = np.array(rdm_sl.rdm1x1((0, 0), st.sites, st.vertexToSite,
+                                     env.C, env.T))
+        vals[pm] = rho / np.trace(rho)
+    assert np.abs(vals["4X4"] - vals["4X2"]).max() < 1e-3

@@ -303,3 +303,45 @@ HALVES = {
     (0, 1): halves_down,
     (1, 0): halves_right,
 }
+
+
+# ------------------------------------------------------------- 4X2 mode
+# (reference ctm_projectors.py:66-140 ``ctm_get_projectors_4x2``):
+# projectors from two enlarged corners only — half the construction
+# cost of the 4X4 scheme.  Row (= truncated-bond) orientation matches
+# the 4X4 halves so the same projector/absorption machinery applies.
+
+def halves_up_4x2(coord, sites, site_of, C, T, sites_bra=None):
+    x, y = coord
+    R = corner_ru(coord, sites, site_of, C, T, sites_bra=sites_bra)
+    Rt = corner_lu((x - 1, y), sites, site_of, C, T, sites_bra=sites_bra).T
+    return R, Rt
+
+
+def halves_left_4x2(coord, sites, site_of, C, T, sites_bra=None):
+    x, y = coord
+    R = corner_lu(coord, sites, site_of, C, T, sites_bra=sites_bra)
+    Rt = corner_ld((x, y + 1), sites, site_of, C, T, sites_bra=sites_bra)
+    return R, Rt
+
+
+def halves_down_4x2(coord, sites, site_of, C, T, sites_bra=None):
+    x, y = coord
+    R = corner_ld(coord, sites, site_of, C, T, sites_bra=sites_bra).T
+    Rt = corner_rd((x + 1, y), sites, site_of, C, T, sites_bra=sites_bra).T
+    return R, Rt
+
+
+def halves_right_4x2(coord, sites, site_of, C, T, sites_bra=None):
+    x, y = coord
+    R = corner_rd(coord, sites, site_of, C, T, sites_bra=sites_bra)
+    Rt = corner_ru((x, y - 1), sites, site_of, C, T, sites_bra=sites_bra).T
+    return R, Rt
+
+
+HALVES_4X2 = {
+    (0, -1): halves_up_4x2,
+    (-1, 0): halves_left_4x2,
+    (0, 1): halves_down_4x2,
+    (1, 0): halves_right_4x2,
+}

@@ -221,10 +221,10 @@ def make_ctmrg_iter(state, chi: int, ctm_cfg):
     """
     site_of = state.vertexToSite
     lX, lY = state.lX, state.lY
-    if ctm_cfg.projector_method != "4X4":
+    if ctm_cfg.projector_method not in ("4X4", "4X2"):
         raise ValueError(
-            f"generic CTM implements only projector_method='4X4' "
-            f"(got {ctm_cfg.projector_method!r}; reference 4X2 not ported)"
+            f"generic CTM implements projector_method '4X4' and '4X2' "
+            f"(got {ctm_cfg.projector_method!r})"
         )
     move_seq = tuple(tuple(d) for d in ctm_cfg.ctm_move_sequence)
     proj_kwargs = dict(
@@ -232,6 +232,7 @@ def make_ctmrg_iter(state, chi: int, ctm_cfg):
         eps_multiplet=ctm_cfg.projector_eps_multiplet,
         multiplet_abstol=ctm_cfg.projector_multiplet_abstol,
         ad_decomp_reg=ctm_cfg.ad_decomp_reg,
+        projector_method=ctm_cfg.projector_method,
     )
     norm_type = ctm_cfg.ctm_absorb_normalization
 

@@ -52,6 +52,8 @@ def init_env(state, chi: int, init_type: str = "CTMRG", key=None) -> ENV:
     """Initialize environment (reference env.py:235-716 dispatch)."""
     if init_type == "CTMRG":
         return init_from_ipeps_pbc(state, chi)
+    if init_type == "CTMRG_OBC":
+        return init_from_ipeps_obc(state, chi)
     if init_type == "PROD":
         return init_prod(state, chi)
     if init_type == "RANDOM":
@@ -90,6 +92,47 @@ def init_random(state, chi: int, key) -> ENV:
         ):
             key, sub = jax.random.split(key)
             env.T[(coord, vec)] = jax.random.uniform(sub, shape, dtype=dtype)
+    return env
+
+
+def init_from_ipeps_obc(state, chi: int) -> ENV:
+    """Environment from OBC double-layer tensors (reference
+    env.py:538-660 ``init_from_ipeps_obc``): like the PBC init but the
+    outward legs are closed with the product |+> boundary — summed
+    independently in ket and bra instead of traced against each other."""
+    env = ENV(chi)
+    dtype = state.dtype
+
+    def dl(A, sum_axes, spec):
+        As = jnp.sum(A, axis=sum_axes)
+        a = jnp.einsum(spec, As, jnp.conj(As))
+        sh = a.shape
+        fused = [sh[i] * sh[i + 1] for i in range(0, len(sh), 2)]
+        a = a.reshape(fused)
+        return a / jax.lax.stop_gradient(jnp.abs(a).max())
+
+    # outward legs summed per layer (|+> boundary); kept legs fused
+    specs_c = {
+        (-1, -1): ((1, 2), "mef,mab->eafb"),
+        (1, -1): ((1, 4), "mef,mab->eafb"),
+        (1, 1): ((3, 4), "mef,mab->eafb"),
+        (-1, 1): ((2, 3), "mef,mab->eafb"),
+    }
+    specs_t = {
+        (0, -1): ((1,), "mefg,mabc->eafbgc", lambda t: (chi, t.shape[1], chi)),
+        (-1, 0): ((2,), "mefg,mabc->eafbgc", lambda t: (chi, chi, t.shape[2])),
+        (0, 1): ((3,), "mefg,mabc->eafbgc", lambda t: (t.shape[0], chi, chi)),
+        (1, 0): ((4,), "mefg,mabc->eafbgc", lambda t: (chi, t.shape[1], chi)),
+    }
+    for coord in state.sites:
+        for (dx, dy), (axes, spec) in specs_c.items():
+            A = state.site((coord[0] + dx, coord[1] + dy))
+            env.C[(coord, (dx, dy))] = _zero_pad_into(
+                dl(A, axes, spec), (chi, chi), dtype)
+        for (dx, dy), (axes, spec, shape_of) in specs_t.items():
+            A = state.site((coord[0] + dx, coord[1] + dy))
+            t = dl(A, axes, spec)
+            env.T[(coord, (dx, dy))] = _zero_pad_into(t, shape_of(t), dtype)
     return env
 
 

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ...linalg.svd import truncated_svd
-from .components import HALVES
+from .components import HALVES, HALVES_4X2
 
 
 def projectors_from_matrices(
@@ -61,5 +61,7 @@ def ctm_get_projectors(
 ):
     """4x4 projectors for a directional move at ``coord``
     (reference ctm_projectors.py:14-64)."""
-    R, Rt = HALVES[direction](coord, sites, site_of, C, T, sites_bra=sites_bra)
+    method = kwargs.pop("projector_method", "4X4")
+    halves = HALVES_4X2 if method == "4X2" else HALVES
+    R, Rt = halves[direction](coord, sites, site_of, C, T, sites_bra=sites_bra)
     return projectors_from_matrices(R, Rt, chi, **kwargs)
