@@ -416,3 +416,32 @@ def test_projector_method_4x2():
                                      env.C, env.T))
         vals[pm] = rho / np.trace(rho)
     assert np.abs(vals["4X4"] - vals["4X2"]).max() < 1e-3
+
+
+def test_partial_rdm2x2_fidelity():
+    """Bra-only 2x2 window (rdm_itevol.py): contracting the partial RDM
+    with the state's own ket patch reproduces the closed-corner window
+    norm exactly, and the functional is linear in each ket."""
+    from tpeps.ctm.generic.components import (
+        corner_ld, corner_lu, corner_rd, corner_ru)
+    from tpeps.ctm.generic.rdm_itevol import fidelity_rdm2x2, partial_rdm2x2
+    from tpeps.ipeps.ipeps import IPEPS
+
+    key = jax.random.PRNGKey(3)
+    a = jax.random.uniform(key, (2, 2, 2, 2, 2), dtype=jnp.float64) - 0.5
+    st = IPEPS({(0, 0): a})
+    env, _ = run(st, init_env(st, 10),
+                 CtmArgs(ctm_max_iter=80, ctm_conv_tol=1e-10))
+    args = ((0, 0), st.sites, st.vertexToSite, env.C, env.T)
+    upper = jnp.einsum("dr,rv->dv", corner_lu(*args), corner_ru(*args))
+    lower = jnp.einsum("ir,jr->ij", corner_ld(*args), corner_rd(*args))
+    norm = complex(jnp.einsum("dv,dv->", upper, lower))
+
+    prdm = partial_rdm2x2(*args)
+    kets = {c: a for c in [(0, 0), (1, 0), (0, 1), (1, 1)]}
+    fid = complex(fidelity_rdm2x2(prdm, kets))
+    assert abs(fid - norm) < 1e-12 * abs(norm)
+    kets2 = dict(kets)
+    kets2[(1, 0)] = 3.0 * a
+    assert abs(complex(fidelity_rdm2x2(prdm, kets2)) - 3.0 * fid) \
+        < 1e-12 * abs(norm)

@@ -242,3 +242,41 @@ def test_quasi_canonical_gauge():
         env, _ = run_ctm(s, env, cfg)
         E.append(float(np.real(model.energy_per_site(s, env))))
     assert abs(E[0] - E[1]) < 1e-8, f"gauge changed the state: {E}"
+
+
+@pytest.mark.slow
+def test_kagome_itebd_hosvd():
+    """3-site iTEBD/HOSVD for kagome iPESS (reference
+    itevol/itebd_ipess_kagome_abelian.py + hosvd_abelian.py): imaginary
+    time evolution of the kagome Heisenberg AFM from a random D=3
+    state reaches the simple-update energy (~ -0.417/site at D=3)."""
+    from tpeps.ctm.generic.ctmrg import run as run_ctm
+    from tpeps.ipeps.ipess_kagome import IPESS_KAGOME_GENERIC
+    from tpeps.itevol.itebd_kagome import init_lambdas, itebd
+    from tpeps.models.spin_half_kagome import S_HALF_KAGOME
+
+    rng = np.random.default_rng(5)
+    D = 3
+    td = {
+        "T_u": jnp.asarray(rng.standard_normal((D, D, D))),
+        "T_d": jnp.asarray(rng.standard_normal((D, D, D))),
+        "B_a": jnp.asarray(rng.standard_normal((2, D, D))),
+        "B_b": jnp.asarray(rng.standard_normal((2, D, D))),
+        "B_c": jnp.asarray(rng.standard_normal((2, D, D))),
+    }
+    lam = init_lambdas(td)
+    s2 = SU2(2)
+    SS = (jnp.kron(s2.SZ(), s2.SZ())
+          + 0.5 * (jnp.kron(s2.SP(), s2.SM()) + jnp.kron(s2.SM(), s2.SP())))
+    I2 = jnp.eye(2)
+    h3 = (jnp.kron(SS, I2) + jnp.kron(I2, SS)
+          + jnp.kron(jnp.kron(s2.SZ(), I2), s2.SZ())
+          + 0.5 * (jnp.kron(jnp.kron(s2.SP(), I2), s2.SM())
+                   + jnp.kron(jnp.kron(s2.SM(), I2), s2.SP())))
+    for tau, dt in [(2.0, 0.5), (2.0, 0.2), (2.0, 0.1)]:
+        td, lam = itebd(td, lam, h3, tau, dt, D)
+    st = IPESS_KAGOME_GENERIC({(0, 0): td})
+    env = init_env(st, 18)
+    env, _ = run_ctm(st, env, CtmArgs(ctm_max_iter=60, ctm_conv_tol=1e-8))
+    e = float(np.real(S_HALF_KAGOME(j1=1.0).energy_per_site(st, env)))
+    assert e < -0.41, e
