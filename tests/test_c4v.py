@@ -267,3 +267,32 @@ def test_aux_rdm1x1_properties():
     num = 0.5 * (num + num.conj().T)  # rdm1x1 hermitizes (sym_pos_def path)
     rec = num / jnp.trace(num)
     assert float(jnp.abs(rec - rdm1x1_sl(a, env)).max()) < 1e-13
+
+
+def test_ddA_rdm1x1_is_norm_gradient():
+    """ddA_rdm1x1 (the bra-contracted environment frame): contracting
+    it with a ket tensor reproduces the unnormalized rdm1x1 — i.e. it
+    is d<psi|psi>/dA through the fixed environment."""
+    from tpeps.ctm.c4v.rdm import ddA_rdm1x1, rdm1x1
+
+    key = jax.random.PRNGKey(2)
+    a = jax.random.uniform(key, (2, 3, 3, 3, 3), dtype=jnp.float64) - 0.5
+    a = symmetrize_c4v(a)
+    a = a / jnp.linalg.norm(a)
+    env = init_env(a, 16)
+    env, *_ = run_fixed_point(a=a, env=env, max_iter=80, conv_tol=1e-10)
+
+    dd = ddA_rdm1x1(a, env)
+    # rho_unnorm[ket s', bra s] = <dd[s], a[s']>
+    rho_un = np.array(jnp.einsum("zuldr,suldr->sz", dd, a))
+    rho = np.array(rdm1x1(a, env))
+    rho_un = rho_un / np.trace(rho_un)
+    assert np.abs(rho_un - rho / np.trace(rho)).max() < 1e-10
+    # gradient property: d/dA of the norm closure equals conj-free frame
+    def norm_fn(x):
+        return jnp.einsum("zuldr,zuldr->", ddA_rdm1x1(x, env), x).real
+
+    g = jax.grad(norm_fn)(a)
+    # norm = sum_s conj(a) frame a is bilinear; grad wrt real a is
+    # dd + dd (frame symmetric under layer swap at the fixed point)
+    assert np.abs(np.array(g) / 2.0 - np.array(dd)).max() < 1e-8

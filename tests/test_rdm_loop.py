@@ -73,3 +73,41 @@ def test_large_d_corner_runs():
     c = corner_lu((0, 0), st.sites, st.vertexToSite, env.C, env.T,
                   open_phys=True, slice_phys=True)
     assert np.isfinite(np.asarray(c)).all()
+
+
+def test_rdm2x3_compressed_physical():
+    """Compressed 2x3 ring-exchange RDM (rdm_looped.py compressed
+    counterpart): on a converged physical state the CTM-projector
+    compression tracks the full contraction closely even at strong
+    compression."""
+    from tpeps.ctm.generic.rdm_patch import (
+        rdm2x3_open1234, rdm2x3_open1234_compressed)
+    from tpeps.ipeps.ipeps import IPEPS_WEIGHTED
+    from tpeps.itevol.simple_update import (
+        all_nn_bonds, gate_from_hamiltonian, run_seq_2s)
+
+    sites = {
+        (0, 0): jnp.asarray(np.array([1.0, 0.1]).reshape(2, 1, 1, 1, 1)),
+        (1, 0): jnp.asarray(np.array([0.1, 1.0]).reshape(2, 1, 1, 1, 1)),
+        (0, 1): jnp.asarray(np.array([0.1, 1.0]).reshape(2, 1, 1, 1, 1)),
+        (1, 1): jnp.asarray(np.array([1.0, 0.1]).reshape(2, 1, 1, 1, 1)),
+    }
+    state = IPEPS_WEIGHTED(sites=sites, lX=2, lY=2)
+    Sz = np.diag([0.5, -0.5])
+    Sp = np.array([[0.0, 1.0], [0.0, 0.0]])
+    SS = np.kron(Sz, Sz) + 0.5 * (np.kron(Sp, Sp.T) + np.kron(Sp.T, Sp))
+    h2 = jnp.asarray(SS.reshape(2, 2, 2, 2))
+    for tau, n in [(0.5, 20), (0.1, 20)]:
+        g = gate_from_hamiltonian(h2, tau)
+        for _ in range(n):
+            state = run_seq_2s(state, [(b, g) for b in all_nn_bonds(state)],
+                               max_D=2)
+    st = state.absorb_weights()
+    env, _ = run(st, init_env(st, 16),
+                 CtmArgs(ctm_max_iter=100, ctm_conv_tol=1e-10))
+    args = ((0, 0), st.sites, st.vertexToSite, env.C, env.T)
+    full = np.array(rdm2x3_open1234(*args))
+    n1 = full / np.trace(full.reshape(16, 16))
+    comp = np.array(rdm2x3_open1234_compressed(*args, compressed_chi=16))
+    n2 = comp / np.trace(comp.reshape(16, 16))
+    assert np.abs(n1 - n2).max() < 1e-4

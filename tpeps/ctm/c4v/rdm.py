@@ -261,3 +261,37 @@ def aux_rdm1x1(env: EnvC4v, D: int):
     rho = jnp.einsum("lkuvidej,imnj->uvlkdemn", q, R)
     # [u,u', l,l', d,d', r,r'] -> kets then bras
     return rho.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+
+
+def ddA_rdm1x1(a, env: EnvC4v):
+    """Partial 1-site RDM: the boundary ring contracted with the BRA
+    tensor only, leaving the ket slots open (reference
+    rdm_c4v.py:1548-1629 ``ddA_rdm1x1``) — the environment-weighted
+    gradient frame ``d<psi|psi> / dA = ddA_rdm1x1`` (up to conj), used
+    by the reference's hand-rolled optimization paths.
+
+    :return: ``rho[s, u, l, d, r]`` over the KET indices.
+    """
+    frame = aux_rdm1x1(env, a.shape[1])  # [uk lk dk rk, ub lb db rb]
+    return jnp.einsum("uldrULDR,sULDR->suldr", frame, jnp.conj(a))
+
+
+def rdm2x1_tiled(a, env: EnvC4v, sym_pos_def: bool = False):
+    """API-parity alias of the tiled/low-memory 2x1 RDM (reference
+    rdm_c4v_specialized.py:10-267).  The reference tiles the double
+    layer manually to bound GPU memory; under XLA the layer-by-layer
+    ``rdm2x1_sl`` achieves the same peak-memory behaviour, so this
+    delegates."""
+    return rdm2x1_sl(a, env, sym_pos_def=sym_pos_def)
+
+
+def rdm2x2_NN_tiled(a, env: EnvC4v, sym_pos_def: bool = False):
+    """API-parity alias (reference rdm_c4v_specialized.py:268-358);
+    delegates to the low-memory NN 2x2 RDM."""
+    return rdm2x2_NN_lowmem_sl(a, env, sym_pos_def=sym_pos_def)
+
+
+def rdm2x2_NNN_tiled(a, env: EnvC4v, sym_pos_def: bool = False):
+    """API-parity alias (reference rdm_c4v_specialized.py:359-467);
+    delegates to the low-memory NNN 2x2 RDM."""
+    return rdm2x2_NNN_lowmem_sl(a, env, sym_pos_def=sym_pos_def)

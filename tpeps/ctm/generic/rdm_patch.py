@@ -215,3 +215,73 @@ def rdm3x2_open1234(coord, sites, site_of, C, T, sym_pos_def: bool = False):
     t_sites, t_site_of, tC, tT = transpose_lattice(sites, site_of, C, T)
     return rdm2x3_open1234((coord[1], coord[0]), t_sites, t_site_of, tC, tT,
                            sym_pos_def=sym_pos_def)
+
+
+def rdm2x3_open1234_compressed(coord, sites, site_of, C, T, compressed_chi,
+                               sym_pos_def: bool = False, proj_kwargs=None):
+    """Compressed 2x3 ring-exchange RDM (counterpart of reference
+    rdm_looped.py:770 ``rdm2x3_loop_trglringex_compressed``): the
+    (chi * D^2) legs crossing the two column cuts are truncated to
+    ``compressed_chi`` with CTM up/down-move projector pairs computed
+    on the spot, bounding the contraction cost by the compressed
+    dimension.  Like the reference's compressed variant this is an
+    approximation controlled by how well the CTM projector subspace
+    spans the cut (excellent on converged physical states, see
+    tests/test_rdm_loop.py).
+
+    Open positions as :func:`rdm2x3_open1234` (1 top-mid, 2 top-right,
+    3 bottom-left, 4 bottom-mid); same output order.
+    """
+    from .projectors import ctm_get_projectors
+
+    x, y = coord
+    c10 = site_of((x + 1, y))
+    c11 = site_of((x + 1, y + 1))
+    chi = C[(site_of(coord), (-1, -1))].shape[0]
+    a10, a11 = sites[c10], sites[c11]
+    D = a10.shape[1]
+    pk = dict(proj_kwargs or {})
+
+    Ptu1, Pu1 = ctm_get_projectors((0, -1), (x + 1, y), sites, site_of, C, T,
+                                   compressed_chi, **pk)
+    Ptu2, Pu2 = ctm_get_projectors((0, -1), (x + 2, y), sites, site_of, C, T,
+                                   compressed_chi, **pk)
+    Ptd1, Pd1 = ctm_get_projectors((0, 1), (x, y + 1), sites, site_of, C, T,
+                                   compressed_chi, **pk)
+    Ptd2, Pd2 = ctm_get_projectors((0, 1), (x + 1, y + 1), sites, site_of,
+                                   C, T, compressed_chi, **pk)
+
+    # left half (closed LU over open LD), both row cuts compressed
+    lu = corner_lu(coord, sites, site_of, C, T)
+    ldo = corner_ld((x, y + 1), sites, site_of, C, T, open_phys=True)
+    lh = jnp.einsum("dr,dqxX->rqxX", lu, ldo)
+    lh = jnp.einsum("rqxX,ra->aqxX", lh, Ptu1)
+    lh = jnp.einsum("aqxX,qb->abxX", lh, Pd1)
+
+    Tt = T[(c10, (0, -1))].reshape(chi, D, D, chi)  # [t, u, U, q]
+    Tb = T[(c11, (0, 1))].reshape(D, D, chi, chi)   # [f, F, z, p]
+    Pu1u = Pu1.reshape(chi, D, D, -1)               # [t, k, K, a]
+    Ptu2u = Ptu2.reshape(chi, D, D, -1)             # [q, r, R, c]
+    Ptd1u = Ptd1.reshape(chi, D, D, -1)             # [z, m, M, b]
+    Pd2u = Pd2.reshape(chi, D, D, -1)               # [p, w, W, d]
+
+    E = jnp.einsum("abxX,tkKa->bxXtkK", lh, Pu1u)
+    E = jnp.einsum("bxXtkK,tuUq->bxXkKuUq", E, Tt)
+    E = jnp.einsum("bxXkKuUq,yuker->bxXKUqyer", E, a10)
+    E = jnp.einsum("bxXKUqyer,YUKER->bxXqyerYER", E, jnp.conj(a10))
+    E = jnp.einsum("bxXqyerYER,qrRc->bxXyeYEc", E, Ptu2u)
+    E = jnp.einsum("bxXyeYEc,zmMb->xXyeYEczmM", E, Ptd1u)
+    E = jnp.einsum("xXyeYEczmM,fFzp->xXyeYEcmMfFp", E, Tb)
+    E = jnp.einsum("xXyeYEcmMfFp,gemfw->xXyYEcMFpgw", E, a11)
+    E = jnp.einsum("xXyYEcMFpgw,GEMFW->xXyYcpgwGW", E, jnp.conj(a11))
+    E = jnp.einsum("xXyYcpgwGW,pwWd->xXyYcgGd", E, Pd2u)
+
+    # right half (open RU over closed RD), compressed
+    ruo = corner_ru((x + 2, y), sites, site_of, C, T, open_phys=True)
+    rd = corner_rd((x + 2, y + 1), sites, site_of, C, T)
+    rh = jnp.einsum("ldzZ,dq->lqzZ", ruo, rd)
+    rh = jnp.einsum("lqzZ,lc->cqzZ", rh, Pu2)
+    rh = jnp.einsum("cqzZ,qd->cdzZ", rh, Ptd2)
+
+    rho = jnp.einsum("xXyYcgGd,cdzZ->yzxgYZXG", E, rh)
+    return _sym_pos_def_rdm(rho, sym_pos_def=sym_pos_def)

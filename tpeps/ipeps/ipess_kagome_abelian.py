@@ -76,3 +76,32 @@ class IPESS_KAGOME_ABELIAN:
     def to_dense7(self):
         """Dense 7-leg tensors (oracle bridge for tests)."""
         return OrderedDict((c, a.to_dense()) for c, a in self.sites7.items())
+
+
+def read_ipess_kagome_abelian(path) -> IPESS_KAGOME_ABELIAN:
+    """Load an abelian kagome iPESS from the reference's JSON format
+    (reference ipeps/ipess_kagome_abelian.py ``read_ipess_kagome_generic``;
+    e.g. test-input/abelian/IPESS_KAGOME_RVB_D3_abelian-U1_state.json).
+
+    The stored signatures (T_u/T_d all -1; bond tensors (-1, 1, 1)) are
+    normalized to this module's convention by per-leg signature flips —
+    an isomorphism applied consistently at both ends of every internal
+    bond."""
+    import json
+
+    from ..sym.io import read_abelian_tensor
+
+    with open(path) as f:
+        d = json.load(f)
+    raw = {k: read_abelian_tensor(v) for k, v in d["ipess_tensors"].items()}
+    sym = d["ipess_tensors"]["T_u"].get("symmetry", "U1")
+    if isinstance(sym, (list, tuple)):
+        sym = "x".join(sym)
+    td = {
+        "T_u": raw["T_u"].flip_charges((1, 2)),
+        "B_c": raw["B_c"].flip_charges((0, 1)),
+        "T_d": raw["T_d"].flip_charges((0,)),
+        "B_b": raw["B_b"].flip_charges((0, 2)),
+        "B_a": raw["B_a"].flip_charges((0, 2)),
+    }
+    return IPESS_KAGOME_ABELIAN(sym, td)
