@@ -340,3 +340,47 @@ def test_tv_model_dimer_states():
         assert abs(e - (-1.0)) < 1e-9, (nm, e)
         assert abs(obs["nA_(0, 0)"] - 0.5) < 1e-9
         assert abs(obs["nB_(0, 0)"] - 0.5) < 1e-9
+
+
+def test_corrf_distance_dimer():
+    """Fermionic 2-point functions at distance through the dl env
+    (dl_fermi.corrf_1sO1sO_h): on the exact horizontal-dimer state the
+    physical values are known in closed form: <c_B(0) c^+_A(r)> =
+    -1/2 at r=1 (the dimer bond) and 0 beyond; <n_B(0) n_A(r)> = 0 at
+    r=1 (same-dimer exclusion) and 1/4 beyond (independent dimers)."""
+    from tpeps.config import CtmArgs
+    from tpeps.ctm.generic.dl import init_env_dl, run_dl
+    from tpeps.ctm.generic.dl_fermi import corrf_1sO1sO_h, double_tensor
+
+    Lp = leg({-1: 1, 0: 2, 1: 1})
+    L2 = leg({0: 1, 1: 1})
+    L1 = leg({0: 1})
+    s2v = 1 / np.sqrt(2)
+    a = AbelianTensor("U1", (1, 1, 1, -1, -1), (Lp, L1, L2, L1, L2), 0,
+                      dtype=jnp.complex128, fermionic=True)
+    ent = {(1, 1): (0, 0, 1.0), (0, 0): (0, 1, -1.0),
+           (1, 0): (1, 0, 1.0), (0, 1): (-1, 0, 1.0)}
+    for (ql, qr), (qs, idx, sg) in ent.items():
+        key = (qs, 0, ql, 0, qr)
+        sh = a.block_shape(key)
+        blk = np.zeros(sh, dtype=complex)
+        blk[(idx,) + (0,) * (len(sh) - 1)] = s2v * sg
+        a.blocks[key] = jnp.asarray(blk)
+
+    E = double_tensor(a)
+    env, _ = run_dl(E, init_env_dl(E, 8),
+                    CtmArgs(ctm_max_iter=60, ctm_conv_tol=1e-11))
+    cB = np.zeros((4, 4))
+    cB[0, 2] = 1
+    cB[1, 3] = -1
+    cpA = np.zeros((4, 4))
+    cpA[1, 0] = 1
+    cpA[3, 2] = 1
+    vals = np.asarray(corrf_1sO1sO_h(a, env, cB, cpA, 4))
+    want = np.array([-0.5, 0.0, 0.0, 0.0])
+    assert np.abs(vals - want).max() < 1e-9, vals
+    nA = np.diag([0.0, 1, 0, 1])
+    nB = np.diag([0.0, 0, 1, 1])
+    valsd = np.asarray(corrf_1sO1sO_h(a, env, nB, nA, 4))
+    wantd = np.array([0.0, 0.25, 0.25, 0.25])
+    assert np.abs(valsd - wantd).max() < 1e-9, valsd

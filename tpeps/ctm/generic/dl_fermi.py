@@ -111,7 +111,7 @@ def dense_embed(a, blocks=None):
     return out
 
 
-def double_tensor(a, op=None, blocks=None):
+def double_tensor(a, op=None, blocks=None, string=()):
     """Closed (or 1-site-operator) fermionic double tensor.
 
     :param a: graded on-site tensor, legs (s,u,l,d,r).
@@ -122,6 +122,9 @@ def double_tensor(a, op=None, blocks=None):
     :param blocks: optional override of ``a.blocks`` (jnp arrays) — the
         construction is jax-traceable, so this supports AD through the
         double layer.
+    :param string: aux legs receiving an UNCONDITIONAL ``(-1)^p`` mask
+        (:data:`MID_STRING_H` for columns passed by a fermionic
+        2-point string).
     :return: dense jnp array, legs (u l d r) fused ket-major (D*D').
     """
     Ad = dense_embed(a, blocks)
@@ -130,7 +133,19 @@ def double_tensor(a, op=None, blocks=None):
     if op is not None:
         Ad = jnp.einsum("zs,suldr->zuldr", jnp.asarray(op), Ad)
     E9 = jnp.einsum("suldr,zabce->suldrzabce", Ad, B)
-    E9 = E9 * _sign_mask(P)
+    m = _sign_mask(P)
+    if string:
+        def ax(v, i):
+            sh = [1] * 10
+            sh[i] = -1
+            return v.reshape(sh)
+
+        tot = 0
+        for nm in string:
+            idx = _LEG_IDX[nm]
+            tot = tot + ax(P[idx % 5], idx)
+        m = m * (-1.0) ** tot  # unconditional (string pass-through)
+    E9 = E9 * m
     E = jnp.einsum("suldrsabce->uldrabce", E9).transpose(0, 4, 1, 5, 2, 6, 3, 7)
     sh = E.shape
     E = E.reshape(sh[0] * sh[1], sh[2] * sh[3], sh[4] * sh[5], sh[6] * sh[7])
@@ -174,6 +189,13 @@ PAIR_FOCK_SIGN = {"h": -1.0, "v": 1.0, "diag": -1.0, "anti": -1.0}
 _LEG_IDX = {"uk": 1, "lk": 2, "dk": 3, "rk": 4,
             "ub": 6, "lb": 7, "db": 8, "rb": 9}
 
+#: Unconditional string mask for the columns a horizontal fermionic
+#: 2-point function passes over (solved and verified at distances 2-4
+#: against the Grassmann oracle, tests/test_fermionic_dl.py): each
+#: passed column's closed double tensor gets ``(-1)^{p}`` on these
+#: legs, and the pair value carries ``(-1)^{p(s_i) + n_mid p(z_i)}``.
+MID_STRING_H = ("lk", "dk", "db", "rk")
+
 
 def double_tensor_open(a, string=(), blocks=None):
     """Phys-open fermionic double tensor, legs (s, z, U, L, D, R) with
@@ -209,3 +231,100 @@ def double_tensor_open(a, string=(), blocks=None):
     E = E.reshape(sh[0], sh[1], sh[2] * sh[3], sh[4] * sh[5],
                   sh[6] * sh[7], sh[8] * sh[9])
     return E
+
+
+def corrf_1sO1sO_h(a, env, op1, op2, dist: int):
+    """Fermionic 2-point function ``<O1(0) O2(r)>`` for r = 1..dist
+    along +x through a converged dl environment (counterpart of
+    reference ctm/generic_abelian/corrf_fermionic.py ``apply_TM_TAT``
+    correlators; normalized by the matching identity network).
+
+    ``op1``/``op2``: parity-homogeneous dense (d, d) operators.  For a
+    parity-odd pair the end sites carry :data:`PAIR_STRINGS`["h"],
+    every passed column :data:`MID_STRING_H`, the block sign
+    ``-(-1)^{(n_mid - 1) p(z_1)}`` (solved and verified at distances
+    1..4 against the Grassmann oracle) is applied by splitting the
+    left vector into bra-phys parity sectors, and the overall
+    ``(-1)^r`` maps the oracle convention to the physical Fock
+    ordering (pinned by exact first-quantized computations).
+
+    :return: jnp array of length ``dist`` (values at r = 1..dist).
+    """
+    C, T = env.C, env.T
+    _C = (0, 0)
+    op1 = jnp.asarray(op1)
+    op2 = jnp.asarray(op2)
+    P = leg_parities(a)
+    pphys = P[0]
+    nz = np.argwhere(np.asarray(jnp.abs(op1) > 1e-14))
+    odd = len(nz) > 0 and all(pphys[i] != pphys[j] for i, j in nz)
+
+    E = double_tensor(a)
+    Em = double_tensor(a, string=MID_STRING_H) if odd else E
+    s1, s2 = (PAIR_STRINGS["h"] if odd else ((), ()))
+    Eo1 = double_tensor_open(a, s1)
+    Eo2 = double_tensor_open(a, s2)
+    Eo_id = double_tensor_open(a)
+
+    def left_vec(Eo, op, proj=None):
+        """L[z(top chi), r_pair, u(bottom chi)] with op inserted."""
+        q = jnp.einsum("xy,ymz->xmz", C[(_C, (-1, -1))], T[(_C, (0, -1))])
+        q = jnp.einsum("xmz,xwl->mzwl", q, T[(_C, (-1, 0))])
+        if proj is None:
+            Eop = jnp.einsum("ba,abmldr->mldr", op, Eo)
+        else:
+            Eop = jnp.einsum("ba,b,abmldr->mldr", op, proj, Eo)
+        q = jnp.einsum("mzwl,mldr->zwdr", q, Eop)
+        q = jnp.einsum("zwdr,wv->zvdr", q, C[(_C, (-1, 1))])
+        return jnp.einsum("zvdr,dvu->zru", q, T[(_C, (0, 1))])
+
+    def apply_tm(L, Ecol):
+        q = jnp.einsum("zru,znw->runw", L, T[(_C, (0, -1))])
+        q = jnp.einsum("runw,nrds->uwds", q, Ecol)
+        return jnp.einsum("uwds,dug->wsg", q, T[(_C, (0, 1))])
+
+    def right_val(L, Eo, op):
+        Eop = jnp.einsum("fe,efmldr->mldr", op, Eo)
+        q = jnp.einsum("zru,znw->runw", L, T[(_C, (0, -1))])
+        q = jnp.einsum("runw,nrds->uwds", q, Eop)
+        q = jnp.einsum("uwds,dug->wsg", q, T[(_C, (0, 1))])
+        q = jnp.einsum("wsg,wp->psg", q, C[(_C, (1, -1))])
+        q = jnp.einsum("psg,pst->tg", q, T[(_C, (1, 0))])
+        return jnp.einsum("tg,tg->", q, C[(_C, (1, 1))])
+
+    d = op1.shape[0]
+    Id = jnp.eye(d, dtype=Eo1.dtype)
+
+    if odd:
+        proj_even = jnp.asarray((pphys == 0).astype(float))
+        proj_odd = jnp.asarray((pphys == 1).astype(float))
+        Le = left_vec(Eo1, op1, proj=proj_even)
+        Lo = left_vec(Eo1, op1, proj=proj_odd)
+    else:
+        Le = left_vec(Eo1, op1)
+        Lo = None
+    Ln = left_vec(Eo_id, Id)
+
+    vals = []
+    for r in range(1, dist + 1):
+        if r > 1:
+            Le = apply_tm(Le, Em)
+            if odd:
+                Lo = apply_tm(Lo, Em)
+            Ln = apply_tm(Ln, E)
+        if odd and r > 1:
+            # sigma = -(-1)^{(n_mid-1) p(z_1)}, n_mid = r - 1
+            L = -(Le + ((-1.0) ** (r - 2)) * Lo)
+        elif odd:
+            L = Le + Lo
+        else:
+            L = Le
+        num = right_val(L, Eo2, op2)
+        den = right_val(Ln, Eo_id, Id)
+        v = num / den
+        if odd:
+            # oracle-convention -> PHYSICAL Fock ordering sign, measured
+            # against exact first-quantized computations: (-1)^r
+            v = v * ((-1.0) ** r)
+        vals.append(v)
+    return jnp.stack(vals)
