@@ -25,23 +25,28 @@ import numpy as np
 REF_CPU_MS = {7: 146622.5, 6: 30999.8, 5: 1448.3, 4: 152.0, 3: 10.4}
 
 
-def accelerator_alive(timeout: int = 180) -> bool:
+def accelerator_alive(timeout: int = 300, retries: int = 2) -> bool:
     """Probe the accelerator in a subprocess — a crashed TPU runtime can
-    hang the first dispatch indefinitely, which must not hang the bench."""
+    hang the first dispatch indefinitely, which must not hang the bench.
+    Retries once: the first compile through a remote tunnel is
+    occasionally slow enough to trip a single probe."""
     code = (
         "import jax, jax.numpy as jnp;"
         "jax.config.update('jax_enable_x64', True);"
         "x = jnp.ones((64, 64));"
         "print(float((x @ x)[0, 0]))"
     )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout,
-            capture_output=True, text=True,
-        )
-        return r.returncode == 0 and "64" in r.stdout
-    except Exception:
-        return False
+    for _ in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout,
+                capture_output=True, text=True,
+            )
+            if r.returncode == 0 and "64" in r.stdout:
+                return True
+        except Exception:
+            pass
+    return False
 
 
 def move_flops(D, chi, slice_phys):

@@ -279,6 +279,8 @@ def run_ctmrg_tpu(
     slice_phys: bool = False,
     timers=None,
     moves_per_sync: int = 1,
+    matmul_precision=None,
+    stall_window: int = 0,
     **move_kwargs,
 ):
     """Host-driven CTMRG loop over the jitted TPU-layout move.
@@ -291,11 +293,21 @@ def run_ctmrg_tpu(
 
     :param timers: optional :class:`tpeps.profiling.PhaseTimers`
         accumulating per-phase wall-clock ("move", "conv_check")
+    :param matmul_precision: optional jax matmul precision for the
+        move ("highest" turns the MXU's default bf16-precision f32
+        matmuls into true-f32 multi-pass ones — ~5x the move cost,
+        ~4 extra accurate digits; used by the mixed driver's middle
+        phase)
+    :param stall_window: if > 0, stop early when the corner-spectra
+        distance has not improved for this many consecutive checks
+        (phase hand-off in the mixed driver)
     :return: ``(env, n_iter, dist)``
     """
     import contextlib
 
     _null = contextlib.nullcontext()
+    prec_cm = (jax.default_matmul_precision(matmul_precision)
+               if matmul_precision else _null)
 
     def phase(name, sync=None):
         return timers.phase(name, sync=sync) if timers is not None else _null
@@ -307,16 +319,19 @@ def run_ctmrg_tpu(
     C = env.C
     spec_prev = None
     dist = float("inf")
+    best_dist = float("inf")
+    no_improve = 0
     it = 0
     bad_streak = 0
     n_sync = max(1, (max_iter + moves_per_sync - 1) // moves_per_sync)
     for it_s in range(1, n_sync + 1):
         it = it_s * moves_per_sync
         with phase("move"):
-            nC, nT, spec, nP = _jit_move(
-                a, C, T_int, P, n_power=n_power, slice_phys=slice_phys,
-                n_moves=moves_per_sync, **move_kwargs
-            )
+            with prec_cm:
+                nC, nT, spec, nP = _jit_move(
+                    a, C, T_int, P, n_power=n_power, slice_phys=slice_phys,
+                    n_moves=moves_per_sync, **move_kwargs
+                )
             spec.block_until_ready()
         with phase("conv_check"):
             spec_h = np.abs(np.asarray(spec))
@@ -348,6 +363,14 @@ def run_ctmrg_tpu(
             dist = float(np.linalg.norm(spec_h - spec_prev))
             if dist < conv_tol:
                 break
+            if stall_window > 0:
+                if dist < 0.7 * best_dist:
+                    best_dist = dist
+                    no_improve = 0
+                else:
+                    no_improve += 1
+                    if no_improve >= stall_window:
+                        break
         spec_prev = spec_h
     return EnvC4v(C, from_tpu_layout(T_int)), it, dist
 
@@ -390,8 +413,20 @@ def run_ctmrg_tpu_mixed(
     env32, it32, dist32 = run_ctmrg_tpu(
         a32, env32, max_iter=max_iter, conv_tol=max(switch_tol, conv_tol),
         n_power=n_power, slice_phys=slice_phys32, timers=timers,
-        moves_per_sync=moves_per_sync, **move_kwargs
+        moves_per_sync=moves_per_sync, stall_window=4, **move_kwargs
     )
+    # middle phase: true-f32 matmuls (multi-pass MXU; ~5x the bf16-
+    # precision move, ~1/20 the f64-emulated move) pushes the spectra
+    # several digits further before any f64 move runs
+    env32b, it32b, dist32b = run_ctmrg_tpu(
+        a32, env32, max_iter=max_iter,
+        conv_tol=max(conv_tol, 3.0e-7),
+        n_power=n_power, slice_phys=slice_phys32, timers=timers,
+        moves_per_sync=moves_per_sync, matmul_precision="highest",
+        stall_window=3, **move_kwargs
+    )
+    it32 += it32b
+    env32 = env32b
     env64 = EnvC4v(env32.C.astype(env.C.dtype), env32.T.astype(env.T.dtype))
     env_out, it64, dist = run_ctmrg_tpu(
         a, env64, max_iter=max_iter, conv_tol=conv_tol,
