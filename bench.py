@@ -115,6 +115,60 @@ def bench_case(D, chi, max_iter=48, mode="f64", moves_per_sync=4):
     return ms_per_move, n2, flops
 
 
+ABELIAN_BENCH_CODE = r"""
+import time, json, sys
+import numpy as np
+import jax, jax.numpy as jnp
+import tpeps
+from tpeps.sym.tensor import AbelianTensor, leg
+from tpeps.ipeps.ipeps_abelian import IPEPS_ABELIAN, make_c4v_symm_A1_abelian
+from tpeps.ctm.c4v_abelian import ctmrg as ctmrg_c4v
+from tpeps.ctm.c4v_abelian import env as env_c4v
+from tpeps.ctm.c4v_abelian.frozen import close_structure, freeze_from_env, run_frozen
+
+D_SECTORS = {-2: 1, -1: 2, 0: 2, 1: 2, 2: 1}   # D=8 U(1) aux profile
+chi = 160
+a = AbelianTensor.random(jax.random.PRNGKey(0), "U1", (1, 1, 1, 1, 1),
+                         (leg({-1: 1, 1: 1}), *(leg(D_SECTORS),) * 4), n=1,
+                         backend="np")
+a = make_c4v_symm_A1_abelian(a)
+a = a * (1.0 / float(a.norm()))
+st = IPEPS_ABELIAN("U1", {(0, 0): a})
+env = env_c4v.init_env(st, chi)
+pk = dict(svd_reltol=1e-12, eps_multiplet=1e-12)
+# host (numpy) moves: structure warm-up + the host-engine timing baseline
+t0 = time.perf_counter()
+for _ in range(2):
+    env = ctmrg_c4v.ctm_move_sl(a, env, pk)
+host_ms = 1000.0 * (time.perf_counter() - t0) / 2
+for _ in range(4):
+    env = ctmrg_c4v.ctm_move_sl(a, env, pk)
+keep = freeze_from_env(env)
+A = a.to_backend("jnp")
+C, T = close_structure(A, env.C.to_backend("jnp"), env.T.to_backend("jnp"),
+                       dict(keep))
+# compile + run the frozen program (10 fixed moves per call)
+Cf, Tf, n, d2 = run_frozen(A, C, T, keep, max_iter=10, conv_tol=0.0)
+jax.block_until_ready(jax.tree_util.tree_leaves(Cf))
+t0 = time.perf_counter()
+Cf, Tf, n, d2 = run_frozen(A, C, T, keep, max_iter=10, conv_tol=0.0)
+jax.block_until_ready(jax.tree_util.tree_leaves(Cf))
+ms = 1000.0 * (time.perf_counter() - t0) / int(n)
+print(json.dumps({"host_ms": round(host_ms, 3), "frozen_ms": round(ms, 3)}))
+"""
+
+
+def bench_abelian(timeout: int = 1500):
+    """Abelian C4v D=8 chi=160 move: frozen-jitted device program vs the
+    host numpy engine (VERDICT r2 ask #4).  Runs in a subprocess with a
+    hard timeout — the frozen move's one-time compile is minutes."""
+    r = subprocess.run([sys.executable, "-c", ABELIAN_BENCH_CODE],
+                       timeout=timeout, capture_output=True, text=True)
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-500:])
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
 def main():
     on_accel = accelerator_alive()
     if not on_accel:
@@ -150,6 +204,19 @@ def main():
             rec["flops_per_move"] = flops
             rec["achieved_tflops"] = round(flops / (ms / 1000.0) / 1e12, 4)
         records.append(rec)
+    try:
+        ab = bench_abelian()
+        records.append({
+            "metric": "ctmrg_move_c4v_abelian_D8_chi160_frozen",
+            "value": ab["frozen_ms"],
+            "unit": "ms/move",
+            # baseline here = this repo's host-numpy abelian engine on the
+            # same case (the reference publishes no abelian wall-clock)
+            "vs_baseline": round(ab["host_ms"] / max(ab["frozen_ms"], 1e-9), 1),
+            "host_engine_ms": ab["host_ms"],
+        })
+    except Exception as e:
+        print(f"# abelian bench failed: {type(e).__name__}: {e}", file=sys.stderr)
     if not records:
         print(json.dumps({"metric": "ctmrg_move_c4v", "value": -1, "unit": "ms/move", "vs_baseline": 0}))
         return

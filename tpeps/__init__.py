@@ -26,4 +26,21 @@ import jax as _jax
 if not _os.environ.get("TPEPS_NO_X64"):
     _jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: CTMRG programs (especially the
+# frozen abelian engine, whose traced move unrolls per-sector block
+# arithmetic) can take minutes to compile; caching makes every process
+# after the first start instantly.  Opt out with TPEPS_NO_COMPILE_CACHE=1
+# or redirect with TPEPS_COMPILE_CACHE_DIR.
+if not _os.environ.get("TPEPS_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "TPEPS_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "tpeps_xla"),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # cache is an optimization; never fail import
+        pass
+
 __version__ = "0.1.0"

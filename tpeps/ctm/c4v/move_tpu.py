@@ -33,6 +33,18 @@ from ...linalg.power import cholesky_qr2, cold_start_basis, procrustes_align
 from .env import EnvC4v
 
 
+def _dot(x, y, dn, impl: str):
+    """dot_general dispatcher: ``impl="ozaki"`` routes real-f64
+    contractions through the exact int8-MXU Ozaki path
+    (tpeps/linalg/ozaki.py) instead of XLA's software double-float
+    emulation — the f64-accuracy speed lever of the mixed driver."""
+    if impl == "ozaki" and x.dtype == jnp.float64 and y.dtype == jnp.float64:
+        from ...linalg.ozaki import ozaki_dot_general
+
+        return ozaki_dot_general(x, y, dn)
+    return lax.dot_general(x, y, dn)
+
+
 def to_tpu_layout(T, D: int):
     """Public ``T[chi0, chi1, D^2]`` -> internal ``T[k, b, chi0, chi1]``."""
     chi = T.shape[0]
@@ -45,7 +57,7 @@ def from_tpu_layout(T_int):
     return T_int.transpose(2, 3, 0, 1).reshape(chi, chi, D * D)
 
 
-def _c2x2_factored(a, C, T_int, slice_phys: bool = False):
+def _c2x2_factored(a, C, T_int, slice_phys: bool = False, dot_impl: str = "xla"):
     """Enlarged corner in factored form ``M6[f, g, e, r, j, i]`` with the
     hermitian pairing rows=(j,e,f) [down-chi, ket, bra], cols=(i,r,g).
 
@@ -60,33 +72,33 @@ def _c2x2_factored(a, C, T_int, slice_phys: bool = False):
     chi = C.shape[0]
     # top edge: chi0=i(right), chi1=y(left); ct[x,u,v,i] = C[x,y] Tt[u,v,i,y]
     Tt_r = T_int.transpose(3, 0, 1, 2).reshape(chi, D * D * chi)  # y,(u,v,i)
-    ct = (C @ Tt_r).reshape(chi, D, D, chi)  # x,u,v,i
+    ct = _dot(C, Tt_r, (((1,), (0,)), ((), ())), dot_impl).reshape(chi, D, D, chi)
     # left edge: chi0=x(up), chi1=j(down); contract x
-    q1 = lax.dot_general(T_int, ct, (((2,), (0,)), ((), ())))  # (l,m,j)+(u,v,i)
+    q1 = _dot(T_int, ct, (((2,), (0,)), ((), ())), dot_impl)  # (l,m,j)+(u,v,i)
     if not slice_phys:
         # ket layer: contract a(u,l) with q(u=3, l=0)
-        q = lax.dot_general(a, q1, (((1, 2), (3, 0)), ((), ())))  # (s,e,r)+(m,j,v,i)
+        q = _dot(a, q1, (((1, 2), (3, 0)), ((), ())), dot_impl)  # (s,e,r)+(m,j,v,i)
         # bra layer: contract conj(a)(s,v,m) with q(s=0, v=5, m=3)
-        return lax.dot_general(jnp.conj(a), q, (((0, 1, 2), (0, 5, 3)), ((), ())))
+        return _dot(jnp.conj(a), q, (((0, 1, 2), (0, 5, 3)), ((), ())), dot_impl)
     M6 = None
     ac = jnp.conj(a)
     for s in range(d):
         # (e,r)+(m,j,v,i)
-        qs = lax.dot_general(a[s], q1, (((0, 1), (3, 0)), ((), ())))
+        qs = _dot(a[s], q1, (((0, 1), (3, 0)), ((), ())), dot_impl)
         # conj(a)[s] (v,m,f,g): contract (v, m) with qs (4, 2)
-        ms = lax.dot_general(ac[s], qs, (((0, 1), (4, 2)), ((), ())))
+        ms = _dot(ac[s], qs, (((0, 1), (4, 2)), ((), ())), dot_impl)
         M6 = ms if M6 is None else M6 + ms
     return M6  # (f,g)+(e,r,j,i)
 
 
-def _m_apply(M6, P2d, chi: int, D: int):
+def _m_apply(M6, P2d, chi: int, D: int, dot_impl: str = "xla"):
     """Apply the factored corner: ``Y = M @ P`` with P rows = (j,e,f).
 
     ``M`` cols = (i, r, g); P rows reshaped (i, r, g, p).
     """
     P4 = P2d.reshape(chi, D, D, -1)
     # contract (i=5, r=3, g=1) with (0, 1, 2)
-    Y = lax.dot_general(M6, P4, (((5, 3, 1), (0, 1, 2)), ((), ())))  # (f,e,j,p)
+    Y = _dot(M6, P4, (((5, 3, 1), (0, 1, 2)), ((), ())), dot_impl)  # (f,e,j,p)
     Y = Y.transpose(2, 1, 0, 3)  # (j,e,f,p) — minor stays chi'
     return Y.reshape(chi * D * D, -1)
 
@@ -112,31 +124,32 @@ def _subspace_eigh_op(m_apply, P0, chi: int, n_power: int,
     return Dv * mask, P * mask[None, :]
 
 
-def _absorb_T_int(a, T_int, P2d, chi: int, chi_n: int, slice_phys: bool = False):
+def _absorb_T_int(a, T_int, P2d, chi: int, chi_n: int, slice_phys: bool = False,
+                  dot_impl: str = "xla"):
     """T' = P^H (T a a*) P in internal layout; returns ``T'[k,b,chi',chi']``."""
     D = a.shape[1]
     d = a.shape[0]
     # contract T chi0(=x up) with P's chi rows
     P4 = P2d.reshape(chi, D, D, chi_n)  # (c, u, v, p)
-    z1 = lax.dot_general(T_int, P4, (((2,), (0,)), ((), ())))  # (l,m,d)+(u,v,p)
+    z1 = _dot(T_int, P4, (((2,), (0,)), ((), ())), dot_impl)  # (l,m,d)+(u,v,p)
     if not slice_phys:
         # ket layer: contract a(u=1, l=2) with z(u=3, l=0)
-        z = lax.dot_general(a, z1, (((1, 2), (3, 0)), ((), ())))  # (s,e,r)+(m,d,v,p)
+        z = _dot(a, z1, (((1, 2), (3, 0)), ((), ())), dot_impl)  # (s,e,r)+(m,d,v,p)
         # bra layer: contract conj(a)(s=0, v=1, m=2) with z(s=0, v=5, m=3)
-        z = lax.dot_general(jnp.conj(a), z, (((0, 1, 2), (0, 5, 3)), ((), ())))
+        z = _dot(jnp.conj(a), z, (((0, 1, 2), (0, 5, 3)), ((), ())), dot_impl)
         # z = (f,g)+(e,r,d,p)
     else:
         z = None
         ac = jnp.conj(a)
         for s in range(d):
             # a[s] (u,l,e,r): contract (u=0, l=1) with z1 (3, 0) -> (e,r)+(m,d,v,p)
-            zs = lax.dot_general(a[s], z1, (((0, 1), (3, 0)), ((), ())))
+            zs = _dot(a[s], z1, (((0, 1), (3, 0)), ((), ())), dot_impl)
             # conj(a)[s] (v,m,f,g): contract (v=0, m=1) with zs (4, 2)
-            zs = lax.dot_general(ac[s], zs, (((0, 1), (4, 2)), ((), ())))
+            zs = _dot(ac[s], zs, (((0, 1), (4, 2)), ((), ())), dot_impl)
             z = zs if z is None else z + zs  # (f,g)+(e,r,d,p)
     # close with conj(P): contract (c=chi, u=ket-down, v=bra-down) with
     # z (d=4, e=2, f=0)
-    nT = lax.dot_general(jnp.conj(P4), z, (((0, 1, 2), (4, 2, 0)), ((), ())))
+    nT = _dot(jnp.conj(P4), z, (((0, 1, 2), (4, 2, 0)), ((), ())), dot_impl)
     # nT = (q)+(g,r,p) -> internal layout (k=r, b=g, chi_top=p, chi_bot=q)
     nT = nT.transpose(2, 1, 3, 0)
     return nT
@@ -154,14 +167,15 @@ def ctm_move_sl_tpu(
     absorb_normalization: str = "inf",
     sg_norm: bool = True,
     slice_phys: bool = False,
+    dot_impl: str = "xla",
 ):
     """One C4v move in TPU layout.  Returns ``(C', T'_int, spec, P)``."""
     chi = C.shape[0]
     D = a.shape[1]
-    M6 = _c2x2_factored(a, C, T_int, slice_phys=slice_phys)
+    M6 = _c2x2_factored(a, C, T_int, slice_phys=slice_phys, dot_impl=dot_impl)
     # hermitian-symmetrize via the operator: (M + M^H)/2 applied lazily —
     # M is hermitian up to roundoff for C4v states; symmetrize H instead
-    m_apply = partial(_m_apply, M6, chi=chi, D=D)
+    m_apply = partial(_m_apply, M6, chi=chi, D=D, dot_impl=dot_impl)
     Dspec, P = _subspace_eigh_op(
         m_apply, P_ref, chi, n_power, eps_multiplet, ad_decomp_reg
     )
@@ -173,7 +187,8 @@ def ctm_move_sl_tpu(
     spec = Dspec / scale_C
     nC = (W.conj().T * spec.astype(C.dtype)[None, :]) @ W
 
-    nT = _absorb_T_int(a, T_int, P, chi, chi, slice_phys=slice_phys)
+    nT = _absorb_T_int(a, T_int, P, chi, chi, slice_phys=slice_phys,
+                       dot_impl=dot_impl)
     # hermitian symmetrization T'_{ija} = (T'_{ija}+T'*_{jia})/2 in
     # internal layout: swap the two chi axes
     nT = 0.5 * (nT + jnp.conj(nT.transpose(0, 1, 3, 2)))
@@ -191,7 +206,7 @@ def ctm_move_sl_tpu(
     jax.jit,
     static_argnames=("max_iter", "conv_tol", "n_power", "eps_multiplet",
                      "ad_decomp_reg", "absorb_normalization", "conv_on",
-                     "slice_phys"),
+                     "slice_phys", "dot_impl"),
 )
 def run_fixed_point_tpu(
     a,
@@ -205,6 +220,7 @@ def run_fixed_point_tpu(
     absorb_normalization: str = "inf",
     conv_on: str = "spec",
     slice_phys: bool = False,
+    dot_impl: str = "xla",
 ):
     """CTMRG to convergence with the TPU-layout move; public-layout env in
     and out.  Same contract as :func:`tpeps.ctm.c4v.ctmrg.run_fixed_point`.
@@ -219,7 +235,7 @@ def run_fixed_point_tpu(
     move = partial(
         ctm_move_sl_tpu, n_power=n_power, eps_multiplet=eps_multiplet,
         ad_decomp_reg=ad_decomp_reg, absorb_normalization=absorb_normalization,
-        slice_phys=slice_phys,
+        slice_phys=slice_phys, dot_impl=dot_impl,
     )
 
     def cond(carry):
@@ -244,11 +260,12 @@ def run_fixed_point_tpu(
 @partial(
     jax.jit,
     static_argnames=("n_power", "eps_multiplet", "ad_decomp_reg",
-                     "absorb_normalization", "slice_phys", "n_moves"),
+                     "absorb_normalization", "slice_phys", "n_moves",
+                     "dot_impl"),
 )
 def _jit_move(a, C, T_int, P_ref, *, n_power=2, eps_multiplet=1.0e-12,
               ad_decomp_reg=1.0e-12, absorb_normalization="inf",
-              slice_phys=False, n_moves=1):
+              slice_phys=False, n_moves=1, dot_impl="xla"):
     """``n_moves`` > 1 chains several moves in one compiled program
     (lax.scan): on a tunneled/remote accelerator the per-dispatch
     round-trip (~30 ms measured on this box) otherwise dominates the
@@ -259,6 +276,7 @@ def _jit_move(a, C, T_int, P_ref, *, n_power=2, eps_multiplet=1.0e-12,
             a, C_, T_, P_, n_power=n_power, eps_multiplet=eps_multiplet,
             ad_decomp_reg=ad_decomp_reg,
             absorb_normalization=absorb_normalization, slice_phys=slice_phys,
+            dot_impl=dot_impl,
         )
         return (nC, nT, nP), spec
 
@@ -387,6 +405,7 @@ def run_ctmrg_tpu_mixed(
     slice_phys32: bool = False,
     timers=None,
     moves_per_sync: int = 1,
+    f64_dot_impl: str = "ozaki",
     **move_kwargs,
 ):
     """Mixed-precision CTMRG: converge in float32 (native MXU speed),
@@ -400,6 +419,8 @@ def run_ctmrg_tpu_mixed(
     and the RESULT is a genuine f64 fixed point — observables carry full
     f64 CTM accuracy (parity-tested against the pure-f64 driver).
 
+    :param f64_dot_impl: dot implementation for the f64 polish phase
+        ("ozaki" = exact int8-MXU splitting, "xla" = software-f64)
     :return: ``(env, n_iter_total, dist)`` with env in float64
     """
     a32 = a.astype(jnp.float32) if not jnp.iscomplexobj(a) else a.astype(jnp.complex64)
@@ -428,10 +449,14 @@ def run_ctmrg_tpu_mixed(
     it32 += it32b
     env32 = env32b
     env64 = EnvC4v(env32.C.astype(env.C.dtype), env32.T.astype(env.T.dtype))
+    # f64 polish: route the contractions through the exact int8-MXU
+    # Ozaki path by default (~f64 accuracy at a fraction of XLA's
+    # software-f64 cost; tpeps/linalg/ozaki.py).  Pass
+    # f64_dot_impl="xla" to fall back to emulated-f64 dots.
     env_out, it64, dist = run_ctmrg_tpu(
         a, env64, max_iter=max_iter, conv_tol=conv_tol,
         n_power=n_power, slice_phys=slice_phys, timers=timers,
-        moves_per_sync=moves_per_sync, **move_kwargs
+        moves_per_sync=moves_per_sync, dot_impl=f64_dot_impl, **move_kwargs
     )
     return env_out, it32 + it64, dist
 

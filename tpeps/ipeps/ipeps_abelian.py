@@ -82,3 +82,36 @@ def make_staggered_signature_site(key, sym, phys_leg, aux_leg, n=0):
     return AbelianTensor.random(
         key, sym, _SIG, (phys_leg, aux_leg, aux_leg, aux_leg, aux_leg), n
     )
+
+
+def make_c4v_symm_A1_abelian(a: AbelianTensor) -> AbelianTensor:
+    """Project a 1-site abelian tensor ``a[s,u,l,d,r]`` (uniform aux leg
+    tables) onto the A1 irrep of C4v — the same reflection/rotation
+    average as the dense :func:`tpeps.ipeps.ipeps_c4v.symmetrize_c4v`
+    (reference groups/pg_abelian.py:109-130 ``make_c4v_symm_A1``).
+    Fully traceable; used inside abelian loss functions."""
+    a = 0.5 * (a + a.transpose((0, 1, 4, 3, 2)))  # left-right reflection
+    a = 0.5 * (a + a.transpose((0, 3, 2, 1, 4)))  # up-down reflection
+    a = 0.5 * (a + a.transpose((0, 4, 1, 2, 3)))  # pi/2 anti-clockwise
+    a = 0.5 * (a + a.transpose((0, 2, 3, 4, 1)))  # pi/2 clockwise
+    return a
+
+
+def add_noise_abelian(a: AbelianTensor, key, noise: float) -> AbelianTensor:
+    """``a + noise * r`` with ``r`` uniform in [-0.5, 0.5) on every
+    existing block (reference ipeps/ipeps_abelian_c4v.py:124-145
+    ``add_noise`` — noise lands on all blocks of the on-site tensor)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if noise == 0:
+        return a
+    blocks = {}
+    for q in sorted(a.blocks):
+        b = a.blocks[q]
+        key, sub = jax.random.split(key)
+        r = jax.random.uniform(sub, b.shape, dtype=jnp.float64, minval=-0.5,
+                               maxval=0.5)
+        blocks[q] = b + noise * (np.asarray(r) if isinstance(b, np.ndarray) else r)
+    return a.copy_with(blocks)

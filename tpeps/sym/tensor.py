@@ -551,15 +551,30 @@ class AbelianTensor:
 
     # ------------------------------------------------------------- dense
     def to_dense(self):
-        """Embed into a dense array (charge sectors ordered per leg)."""
+        """Embed into a dense array (charge sectors ordered per leg).
+
+        Backend-aware: numpy blocks assemble on the host; jnp blocks
+        (including tracers — this method is jit/AD-traceable) assemble
+        via functional index updates, so traced observable paths that
+        end in a small dense rho (e.g. the abelian RDMs) differentiate
+        through block values."""
         shape = tuple(l.total_dim() for l in self.legs)
-        out = np.zeros(shape, dtype=np.asarray(jnp.zeros(0, self.dtype)).dtype)
+        if all(isinstance(b, np.ndarray) for b in self.blocks.values()):
+            out = np.zeros(shape, dtype=_np_dtype(self.dtype))
+            for qs, b in self.blocks.items():
+                sl = tuple(
+                    slice(l.offset(q), l.offset(q) + l.dims[q])
+                    for l, q in zip(self.legs, qs)
+                )
+                out[sl] = b
+            return jnp.asarray(out)
+        out = jnp.zeros(shape, dtype=self.dtype)
         for qs, b in self.blocks.items():
             sl = tuple(
                 slice(l.offset(q), l.offset(q) + l.dims[q]) for l, q in zip(self.legs, qs)
             )
-            out[sl] = np.asarray(b)
-        return jnp.asarray(out)
+            out = out.at[sl].set(b)
+        return out
 
     @classmethod
     def from_dense(cls, dense, sym, signature, legs, n=0):
@@ -800,3 +815,35 @@ def svd_blockwise(t: AbelianTensor, row_axes, col_axes, chi=None,
         V_blocks, t.dtype, t.fermionic,
     )
     return U_t, S_out, V_t
+
+
+# ---------------------------------------------------------------------------
+# JAX pytree registration
+# ---------------------------------------------------------------------------
+
+
+def _at_flatten(t: AbelianTensor):
+    keys = tuple(sorted(t.blocks.keys()))
+    children = tuple(t.blocks[k] for k in keys)
+    aux = (t.sym, t.signature, t.legs, t.n, keys, t.dtype, t.fermionic,
+           t.conj_reversal)
+    return children, aux
+
+
+def _at_unflatten(aux, children):
+    sym, signature, legs, n, keys, dtype, fermionic, conj_reversal = aux
+    t = AbelianTensor(sym, signature, legs, n, dtype=dtype, fermionic=fermionic,
+                      conj_reversal=conj_reversal)
+    t.blocks = dict(zip(keys, children))
+    return t
+
+
+jax.tree_util.register_pytree_node(AbelianTensor, _at_flatten, _at_unflatten)
+"""AbelianTensor is a pytree: blocks (sorted by charge key) are the
+dynamic leaves; symmetry/signature/legs/charge/block-key metadata is
+static aux data.  This is the static-metadata / dynamic-data split the
+reference engineers by hand for torch checkpointing of YASTN tensors
+(ctm/generic_abelian/ctmrg.py:130-211) — here it makes AbelianTensors
+(and containers of them) directly valid arguments of jax.jit /
+jax.grad / lax.while_loop, which is what puts the whole abelian CTMRG
+move on the TPU as ONE compiled program (tpeps/ctm/c4v_abelian/frozen.py)."""
