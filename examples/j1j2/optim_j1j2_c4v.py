@@ -85,11 +85,23 @@ def main():
         env = converge_env(a, env0, ctm_cfg)
         return energy_f(a, env)
 
+    # line-search evaluations may use a cheaper projector decomposition
+    # (reference OPTARGS_line_search_svd_method, ad_optim_lbfgs_mod.py:261-262
+    # swaps ctm_args.projector_svd_method during line search); e.g.
+    # --line_search_svd_method POWER uses the warm-startable subspace
+    # iteration instead of full SYMEIG
+    ls_proj = (cfg.opt.line_search_svd_method
+               if cfg.opt.line_search_svd_method != "DEFAULT"
+               else ctm_cfg.projector_svd_method)
+    if ls_proj == "DEFAULT":
+        ls_proj = "SYMEIG"
+
     def loss_fn_ng(p):
         a = symmetrize_c4v(p, normalize=True)
         env0 = init_env(a, chi, ctm_cfg.ctm_env_init_type)
         env, *_ = run_fixed_point(
-            a=a, env=env0, max_iter=ctm_cfg.ctm_max_iter, conv_tol=ctm_cfg.ctm_conv_tol
+            a=a, env=env0, max_iter=ctm_cfg.ctm_max_iter,
+            conv_tol=ctm_cfg.ctm_conv_tol, projector_method=ls_proj,
         )
         return energy_f(a, env)
 

@@ -176,6 +176,26 @@ def closure_2x1(coord, state1, state2, env: ENV):
     return jnp.einsum("tb,tb->", q, C[(c1, (1, 1))])
 
 
+def closure_2x2(coord, state1, state2, env: ENV):
+    """2x2 closure of the mixed <psi1|psi2> environment — the overlap
+    counterpart of the 2x2 norm network (reference rdm_overlap.py:8
+    ``rdm2x2_id_overlap``: the 2x2 RDM with the identity contracted).
+    Built from the generic enlarged corners with the separate bra layer
+    (closed corners are matrices: lu [down, right], ru [left, down],
+    rd [up, left], ld [up, right])."""
+    from .components import corner_ld, corner_lu, corner_rd, corner_ru
+
+    x, y = coord
+    site_of = state1.vertexToSite
+    sites = state1.sites
+    sb = {c: state2.sites[c] for c in state2.sites}
+    lu = corner_lu((x, y), sites, site_of, env.C, env.T, sites_bra=sb)
+    ru = corner_ru((x + 1, y), sites, site_of, env.C, env.T, sites_bra=sb)
+    ld = corner_ld((x, y + 1), sites, site_of, env.C, env.T, sites_bra=sb)
+    rd = corner_rd((x + 1, y + 1), sites, site_of, env.C, env.T, sites_bra=sb)
+    return jnp.einsum("ab,ac,bc->", lu @ ru, ld, rd)
+
+
 def transfer_value(state1, state2, env: ENV, coord=(0, 0)):
     """Gauge/normalization-invariant per-site transfer value of the
     mixed network: the 2x1/1x1 closure ratio (one extra column of

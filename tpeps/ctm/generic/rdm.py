@@ -154,3 +154,97 @@ def rdm2x2_NNN_1n1(coord, sites, site_of, C, T, sym_pos_def: bool = False):
     rho = jnp.einsum("xycd,xyab->abcd", uh, lh)
     rho = rho.transpose(0, 2, 1, 3)
     return _sym_pos_def_rdm(rho, sym_pos_def=sym_pos_def)
+
+
+def norm_3x3(coord, sites, site_of, C, T):
+    """Norm of the 3x3 patch around ``coord``: boundary edge + one
+    transfer column + closing edge (reference rdm.py:2741-2746
+    ``norm_3x3``, built from the corrf edge helpers)."""
+    from . import corrf
+
+    E = corrf.get_edge(coord, (-1, 0), sites, site_of, C, T)
+    E = corrf.apply_TM_1sO(coord, (0, 1), sites, site_of, C, T, E)
+    return corrf.apply_edge(coord, (0, 1), sites, site_of, C, T, E)
+
+
+def aux_rdm0x1(coord, sites, site_of, C, T):
+    """Auxiliary 0x1 "bond" RDM: the pure-environment network of the
+    vertical bond column between ``coord-(1,0)`` and ``coord`` with the
+    two facing aux D-pairs open (reference rdm.py:2816-2858
+    ``aux_rdm0x1``).  Returns ``rho[l_ket, r_ket, l_bra, r_bra]`` with
+    ``l`` = T4(coord)'s right-facing pair, ``r`` = T2(coord-(1,0))'s
+    left-facing pair."""
+    c = site_of(coord)
+    cn = site_of((coord[0] - 1, coord[1]))
+    a = sites[c]
+    D = a.shape[2]
+    chi = C[(c, (-1, -1))].shape[0]
+    T4 = T[(c, (-1, 0))].reshape(chi, chi, D, D)
+    Dn = sites[cn].shape[4]
+    T2 = T[(cn, (1, 0))].reshape(chi, Dn, Dn, chi)
+    # left column: C1-T4-C4 of coord; right column: C2-T2-C3 of coord-(1,0)
+    Lc = jnp.einsum("xy,xwab->ywab", C[(c, (-1, -1))], T4)
+    Lc = jnp.einsum("ywab,wz->yzab", Lc, C[(c, (-1, 1))])
+    Rc = jnp.einsum("yp,pcdw->ycdw", C[(cn, (1, -1))], T2)
+    Rc = jnp.einsum("ycdw,wz->ycdz", Rc, C[(cn, (1, 1))])
+    rho = jnp.einsum("yzab,ycdz->acbd", Lc, Rc)
+    return rho
+
+
+def aux_rdm1x1(coord, sites, site_of, C, T):
+    """Auxiliary 1-site RDM: the C-T ring around ``coord`` with all four
+    aux D-pairs open, kets first (reference rdm.py:2860-2912
+    ``aux_rdm1x1``); ``rho[u,l,d,r, u',l',d',r']``."""
+    c = site_of(coord)
+    a = sites[c]
+    d0, d1, d2, d3, d4 = a.shape
+    chi = C[(c, (-1, -1))].shape[0]
+    Tl = T[(c, (-1, 0))].reshape(chi, chi, d2, d2)
+    Tt = T[(c, (0, -1))].reshape(chi, d1, d1, chi)
+    Tb = T[(c, (0, 1))].reshape(d3, d3, chi, chi)
+    Tr = T[(c, (1, 0))].reshape(chi, d4, d4, chi)
+    L = jnp.einsum("xy,xblk->yblk", C[(c, (-1, -1))], Tl)
+    L = jnp.einsum("yblk,bw->ylkw", L, C[(c, (-1, 1))])
+    q = jnp.einsum("ylkw,yuvi->lkwuvi", L, Tt)
+    q = jnp.einsum("lkwuvi,dewj->lkuvidej", q, Tb)
+    R = jnp.einsum("pq,qmnb->pmnb", C[(c, (1, -1))], Tr)
+    R = jnp.einsum("pmnb,bj->pmnj", R, C[(c, (1, 1))])
+    rho = jnp.einsum("lkuvidej,irgj->uvlkderg", q, R)
+    # pairs are (ket, bra) per leg in order (u, l, d, r) -> kets first
+    return rho.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+
+
+def aux_rdm1x2(coord, sites, site_of, C, T):
+    """Auxiliary 1x2 RDM: the C-T ring around the horizontal pair
+    (coord, coord+(1,0)) with the six boundary aux D-pairs open, in
+    anti-clockwise order (u0, l0, d0, d1, r1, u1), kets first
+    (reference rdm.py:2913-2963 ``aux_rdm1x2``).
+
+    Note: the reference builds BOTH columns from ``coord``'s environment
+    tensors (rdm.py:2934-2935), exact only for 1-site cells; here each
+    column uses its own site's tensors (equal on 1-site cells, validated
+    there against the oracle in tests/test_rdm_tail.py)."""
+    x, y = coord
+    c0 = site_of((x, y))
+    c1 = site_of((x + 1, y))
+    a0, a1 = sites[c0], sites[c1]
+    chi = C[(c0, (-1, -1))].shape[0]
+    Tl = T[(c0, (-1, 0))].reshape(chi, chi, a0.shape[2], a0.shape[2])
+    Tt0 = T[(c0, (0, -1))].reshape(chi, a0.shape[1], a0.shape[1], chi)
+    Tb0 = T[(c0, (0, 1))].reshape(a0.shape[3], a0.shape[3], chi, chi)
+    Tt1 = T[(c1, (0, -1))].reshape(chi, a1.shape[1], a1.shape[1], chi)
+    Tb1 = T[(c1, (0, 1))].reshape(a1.shape[3], a1.shape[3], chi, chi)
+    Tr = T[(c1, (1, 0))].reshape(chi, a1.shape[4], a1.shape[4], chi)
+    # left half: C1-T4-C4 ring closed with Tt0/Tb0
+    L = jnp.einsum("xy,xblk->yblk", C[(c0, (-1, -1))], Tl)
+    L = jnp.einsum("yblk,bw->ylkw", L, C[(c0, (-1, 1))])
+    L = jnp.einsum("ylkw,yuvi->lkwuvi", L, Tt0)
+    L = jnp.einsum("lkwuvi,dewj->lkuvidej", L, Tb0)
+    # right half: C2-T2-C3 ring closed with Tt1/Tb1
+    R = jnp.einsum("pq,qmnb->pmnb", C[(c1, (1, -1))], Tr)
+    R = jnp.einsum("pmnb,bj->pmnj", R, C[(c1, (1, 1))])
+    R = jnp.einsum("iuvp,pmnj->iuvmnj", Tt1, R)
+    R = jnp.einsum("iuvmnj,dewj->iuvmndew", R, Tb1)
+    rho = jnp.einsum("lkuvidej,iUVmnDEj->uvlkdeDEmnUV", L, R)
+    # anti-clockwise (u0, l0, d0, d1, r1, u1), kets first
+    return rho.transpose(0, 2, 4, 6, 8, 10, 1, 3, 5, 7, 9, 11)

@@ -139,3 +139,42 @@ def get_EH_spec_Ttensor(n, L, coord, direction, state, env, m=None):
     vals = np.asarray(arnoldi_eigs(matvec, v0, n, m=m))
     vals = vals / np.abs(vals[0])
     return np.stack([vals.real, vals.imag], axis=1)
+
+
+def get_full_EH_spec_Ttensor(L, coord, direction, state, env):
+    """FULL spectrum of the approximate exp(-H_ent) of a width-``L``
+    cylinder (reference transferops.py:373-520
+    ``get_full_EH_spec_Ttensor``): sigma_L/sigma_R are approximated by
+    dense MPO chains of environment T tensors with periodic closure and
+    the product is fully diagonalized — exact counterpart of the
+    iterative :func:`get_EH_spec_Ttensor` for small ``D**L``.
+
+    :return: complex eigenvalues of sigma(direction) . sigma(opposite),
+        sorted by magnitude and normalized by the leading one
+    """
+    import numpy as np
+
+    ind = _DIR_TO_IND[direction]
+    d_grow = {1: (-1, 0), 2: (0, 1), 3: (1, 0), 4: (0, -1)}[ind]
+    d_opp = (-direction[0], -direction[1])
+    D = state.site(coord).shape[ind]
+
+    def sigma_dense(d_sigma):
+        c = state.vertexToSite(coord)
+        S = _eh_T(state, env, c, d_sigma)  # [chi_u, chi_d, D_out, D_in]
+        for k in range(1, L):
+            c = state.vertexToSite((c[0] + d_grow[0], c[1] + d_grow[1]))
+            Tk = _eh_T(state, env, c, d_sigma)
+            # S axes: [u, o0..o_{k-1}, i0..i_{k-1}, d_new, o_k, i_k]
+            S = jnp.tensordot(S, Tk, ((1,), (0,)))
+            perm = ([0, 2 * k + 1] + list(range(1, k + 1)) + [2 * k + 2]
+                    + list(range(k + 1, 2 * k + 1)) + [2 * k + 3])
+            S = S.transpose(perm)  # [u, d, o0..o_k, i0..i_k]
+        S = jnp.trace(S, axis1=0, axis2=1)  # PBC closure
+        return S.reshape(D**L, D**L)
+
+    M = sigma_dense(direction) @ sigma_dense(d_opp)
+    vals = np.linalg.eigvals(np.asarray(M))
+    order = np.argsort(-np.abs(vals))
+    vals = vals[order]
+    return vals / np.abs(vals[0])

@@ -9,19 +9,33 @@ patch.  Uses the generic square-lattice environment of
 
 from __future__ import annotations
 
+import string
+
 import jax.numpy as jnp
 
 from ..c4v.rdm import _cast_to_real, _sym_pos_def_rdm
 
+
+def _dl_spec(open_sites) -> str:
+    """Einsum spec for the kagome double-layer tensor, derived from the
+    index roles: ket ``A3[p0 p1 p2, u l d r]`` against bra ``conj(A3)``
+    with the DoFs in ``open_sites`` left open (fresh bra letters) and
+    the rest traced (shared letters); output = interleaved (ket, bra)
+    aux pairs, then open ket DoFs, then open bra DoFs."""
+    it = iter(string.ascii_lowercase)
+    ket_p = [next(it) for _ in range(3)]
+    aux_k = [next(it) for _ in range(4)]
+    bra_p = [next(it) if i in open_sites else ket_p[i] for i in range(3)]
+    aux_b = [next(it) for _ in range(4)]
+    out = "".join(k + b for k, b in zip(aux_k, aux_b))
+    out += "".join(ket_p[i] for i in open_sites)
+    out += "".join(bra_p[i] for i in open_sites)
+    return f"{''.join(ket_p)}{''.join(aux_k)},{''.join(bra_p)}{''.join(aux_b)}->{out}"
+
+
 _DL_CONTRACTION = {
-    (0, 1, 2): "mikefgh,njlabcd->eafbgchdmiknjl",
-    (1, 2): "mikefgh,mjlabcd->eafbgchdikjl",
-    (0, 2): "mikefgh,nilabcd->eafbgchdmknl",
-    (0, 1): "mikefgh,njkabcd->eafbgchdminj",
-    (0,): "mikefgh,nikabcd->eafbgchdmn",
-    (1,): "mikefgh,mjkabcd->eafbgchdij",
-    (2,): "mikefgh,milabcd->eafbgchdkl",
-    (): "mikefgh,mikabcd->eafbgchd",
+    os_: _dl_spec(os_)
+    for os_ in ((0, 1, 2), (1, 2), (0, 2), (0, 1), (0,), (1,), (2,), ())
 }
 
 
@@ -89,7 +103,7 @@ def trace1x1_dn_kagome(coord, sites, site_of, C, T, op, dof_dim: int):
     tr = jnp.tensordot(C[(c, (-1, -1))], T[(c, (-1, 0))], ((0,), (0,)))
     tr = jnp.tensordot(tr, C[(c, (-1, 1))], ((1,), (0,)))
     tr = jnp.tensordot(tr, T[(c, (0, 1))], ((2,), (1,)))
-    a_op = jnp.einsum("iabcd,ji,jefgh->aebfcgdh", A, op, jnp.conj(A))
+    a_op = jnp.einsum("xuldr,yx,yULDR->uUlLdDrR", A, op, jnp.conj(A))
     d = A.shape
     a_op = a_op.reshape(d[1] ** 2, d[2] ** 2, d[3] ** 2, d[4] ** 2)
     tr = jnp.tensordot(tr, a_op, ((1, 2), (1, 2)))
