@@ -233,6 +233,57 @@ class TestGradientGeneric:
         an = float(sum(jnp.sum(grad[c] * jnp.asarray(v[c])) for c in grad))
         assert abs(fd - an) < 5e-2 * max(abs(fd), 1e-8)
 
+    @pytest.mark.slow
+    def test_grad_implicit_vs_fd(self):
+        """Implicit fixed-point gradient of the generic engine
+        (converge_env_generic, grad_mode='implicit'): directional
+        derivative matches central FD to 1e-5 relative with CONSTANT
+        memory in the iteration count (VERDICT r2 ask #9)."""
+        from tpeps.ctm.generic.ctmrg import converge_env_generic
+
+        chi = 8
+        state = _random_state(lX=2, lY=1, seed=3)
+        cfg = CtmArgs(ctm_max_iter=200, ctm_conv_tol=1e-12,
+                      grad_mode="implicit")
+        model = J1J2(j1=1.0, j2=0.55)
+
+        def norm_sites(sd):
+            return {c: t / jnp.linalg.norm(t) for c, t in sd.items()}
+
+        sd0 = norm_sites(dict(state.sites))
+        st0 = state.set_parameters(sd0)
+        env0 = init_env(st0, chi, "CTMRG")
+        env0, _ = run(st0, env0, cfg)
+
+        def loss(sd):
+            sd = norm_sites(sd)
+            st = state.set_parameters(sd)
+            env = converge_env_generic(sd, env0, st, cfg)
+            return model.energy_per_site(st, env)
+
+        def loss_ng(sd):
+            sd = norm_sites(sd)
+            st = state.set_parameters(sd)
+            env = init_env(st, chi, "CTMRG")
+            env, _ = run(st, env, cfg)
+            return float(model.energy_per_site(st, env))
+
+        params = dict(state.sites)
+        val, grad = jax.value_and_grad(loss)(params)
+        gflat = np.concatenate([np.asarray(g).ravel() for g in grad.values()])
+        assert np.isfinite(gflat).all()
+
+        rng = np.random.RandomState(1)
+        eps = 1e-6
+        v = {c: rng.rand(*np.asarray(t).shape) - 0.5 for c, t in params.items()}
+        nrm = np.sqrt(sum(np.sum(x**2) for x in v.values()))
+        v = {c: x / nrm for c, x in v.items()}
+        pp = {c: params[c] + eps * jnp.asarray(v[c]) for c in params}
+        pm = {c: params[c] - eps * jnp.asarray(v[c]) for c in params}
+        fd = (loss_ng(pp) - loss_ng(pm)) / (2 * eps)
+        an = float(sum(jnp.sum(grad[c] * jnp.asarray(v[c])) for c in grad))
+        assert abs(fd - an) < 1e-5 * max(abs(fd), 1e-8), (fd, an)
+
 
 def test_eh_spec_ttensor_matches_dense():
     """EH spectrum matvec agrees with the densely contracted

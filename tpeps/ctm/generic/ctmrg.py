@@ -175,27 +175,42 @@ _ABSORB = {
 }
 
 
-def _norm_tensors(tensors, norm_type="inf"):
+def _norm_tensors(tensors, norm_type="inf", sg_norm=True):
     out = []
     for t in tensors:
         if norm_type == "inf":
             s = jnp.abs(t).max()
         else:
             s = jnp.linalg.norm(t.ravel())
-        out.append(t / lax.stop_gradient(s))
+        out.append(t / (lax.stop_gradient(s) if sg_norm else s))
     return tuple(out)
 
 
 def ctm_move(direction, sites, site_of, C, T, chi, proj_kwargs, norm_type="inf",
-             sites_bra=None):
+             sites_bra=None, sg_norm=True, P_ref=None, return_P=False):
     """One directional move for every site (reference ctmrg.py:179-327).
 
+    :param P_ref: optional ``{coord: P}`` gauge reference — each bond's
+        (P, Pt) pair is rotated by the unitary Procrustes factor aligning
+        P onto the previous sweep's projector (Pt gets the conjugate
+        rotation, so the inserted resolution ``P Pt^T`` is unchanged).
+        Without it the truncated bond basis drifts freely in gauge each
+        sweep: the environment converges in spectrum but never
+        elementwise, which rules out implicit fixed-point
+        differentiation (same mechanism as the C4v continuity gauge,
+        tpeps/ctm/c4v/ctmrg.py:143).
     :return: updated (C, T) dicts with shifted coordinate assignment
+        (plus the ``{coord: P}`` dict when ``return_P``)
     """
+    from ...linalg.power import procrustes_align
+
     P, Pt = {}, {}
     for c in sites:
         P[c], Pt[c] = ctm_get_projectors(direction, c, sites, site_of, C, T, chi,
                                          sites_bra=sites_bra, **proj_kwargs)
+        if P_ref is not None:
+            P[c], W = procrustes_align(P[c], P_ref[c])
+            Pt[c] = Pt[c] @ jnp.conj(W)
 
     absorb = _ABSORB[direction]
     rel = _REL_VECS[direction]
@@ -203,15 +218,17 @@ def ctm_move(direction, sites, site_of, C, T, chi, proj_kwargs, norm_type="inf",
     newT = dict(T)
     for c in sites:
         nC1, nC2, nT = absorb(c, sites, site_of, C, T, P, Pt, sites_bra=sites_bra)
-        nC1, nC2, nT = _norm_tensors((nC1, nC2, nT), norm_type)
+        nC1, nC2, nT = _norm_tensors((nC1, nC2, nT), norm_type, sg_norm)
         nc = site_of((c[0] - direction[0], c[1] - direction[1]))
         newC[(nc, rel["nC1"])] = nC1
         newC[(nc, rel["nC2"])] = nC2
         newT[(nc, rel["nT"])] = nT
+    if return_P:
+        return newC, newT, P
     return newC, newT
 
 
-def make_ctmrg_iter(state, chi: int, ctm_cfg):
+def make_ctmrg_iter(state, chi: int, ctm_cfg, return_gauged: bool = False):
     """Build a jitted full CTMRG sweep for a given unit-cell structure.
 
     The returned function maps ``(sites, C, T) -> (C, T, spec)`` where
@@ -236,12 +253,31 @@ def make_ctmrg_iter(state, chi: int, ctm_cfg):
     )
     norm_type = ctm_cfg.ctm_absorb_normalization
 
-    def one_iter(sites, C, T):
+    def one_iter(sites, C, T, sg_norm=True):
         for direction in move_seq:
             n = lX if direction in ((-1, 0), (1, 0)) else lY
             for _ in range(n):
-                C, T = ctm_move(direction, sites, site_of, C, T, chi, proj_kwargs, norm_type)
+                C, T = ctm_move(direction, sites, site_of, C, T, chi, proj_kwargs,
+                                norm_type, sg_norm=sg_norm)
         return C, T
+
+    def one_iter_gauged(sites, C, T, P_refs, sg_norm=True):
+        """Full sweep in the continuity gauge: ``P_refs`` is a tuple of
+        per-move-slot projector dicts from the previous sweep; returns
+        the new sweep's projectors alongside the environment so the
+        gauge reference threads through a ``lax.while_loop`` carry."""
+        P_out = []
+        slot = 0
+        for direction in move_seq:
+            n = lX if direction in ((-1, 0), (1, 0)) else lY
+            for _ in range(n):
+                P_ref = None if P_refs is None else P_refs[slot]
+                C, T, P = ctm_move(direction, sites, site_of, C, T, chi,
+                                   proj_kwargs, norm_type, sg_norm=sg_norm,
+                                   P_ref=P_ref, return_P=True)
+                P_out.append(P)
+                slot += 1
+        return C, T, tuple(P_out)
 
     def iter_with_spec(sites, C, T):
         C, T = one_iter(sites, C, T)
@@ -250,7 +286,10 @@ def make_ctmrg_iter(state, chi: int, ctm_cfg):
         spec = spec / jnp.maximum(spec[:, :1], 1e-300)
         return C, T, spec
 
-    return jax.jit(iter_with_spec), jax.jit(one_iter)
+    if return_gauged:
+        return jax.jit(iter_with_spec), jax.jit(
+            one_iter, static_argnames=("sg_norm",)), one_iter_gauged
+    return jax.jit(iter_with_spec), jax.jit(one_iter, static_argnames=("sg_norm",))
 
 
 def run(state, env: ENV, ctm_cfg, conv_check=None):
@@ -303,3 +342,133 @@ def run_differentiable(state_sites, env: ENV, state, ctm_cfg):
 
     (C, T), _ = lax.scan(jax.checkpoint(step), (C0, T0), None, length=ctm_cfg.grad_tail_iter)
     return ENV(env.chi, C, T)
+
+
+def _env_dist2(e1, e2):
+    return sum(
+        jnp.sum(jnp.abs(x - y) ** 2)
+        for x, y in zip(jax.tree_util.tree_leaves(e1), jax.tree_util.tree_leaves(e2))
+    )
+
+
+def make_converge_implicit_generic(state, chi, ctm_cfg,
+                                   adjoint_max_iter: int = 100,
+                                   adjoint_tol: float = 1.0e-8):
+    """Implicit fixed-point differentiation for the GENERIC engine
+    (port of the C4v construction, tpeps/ctm/c4v/ctmrg.py:365-447;
+    the reference instead backprops the full move history,
+    ctm/generic/ctmrg.py:286).
+
+    Forward: one pivot-gauge sweep seeds the per-move projector
+    references, then a ``lax.while_loop`` of Procrustes-gauge-fixed
+    sweeps (``one_iter_gauged``) runs to the ELEMENTWISE fixed point —
+    without the continuity gauge the generic environment only converges
+    in spectrum (the truncated bond bases rotate every sweep) and no
+    fixed point exists to differentiate.
+    Backward: Neumann solution of the adjoint equation with the
+    divergence guard; the adjoint sweep differentiates the
+    normalization (``sg_norm=False``) so the scale direction does not
+    pin a unit eigenvalue in the move Jacobian, and holds the gauge
+    reference at the converged projectors (a constant), exactly as the
+    C4v adjoint does.
+
+    :return: ``converge(sites, C, T) -> (C*, T*)`` (custom-vjp callable;
+        call inside a jitted loss)
+    """
+    _, _, one_iter_gauged = make_ctmrg_iter(state, chi, ctm_cfg,
+                                            return_gauged=True)
+    max_iter = ctm_cfg.ctm_max_iter
+    conv_tol = ctm_cfg.ctm_conv_tol
+
+    def _converge_raw(sites, C, T):
+        C1, T1, P0 = one_iter_gauged(sites, C, T, None)
+
+        def cond(carry):
+            _, _, _, i, d2 = carry
+            return jnp.logical_and(i < max_iter, d2 > conv_tol * conv_tol)
+
+        def body(carry):
+            C0, T0, Pr, i, _ = carry
+            C1, T1, P1 = one_iter_gauged(sites, C0, T0, Pr)
+            return (C1, T1, P1, i + 1, _env_dist2((C1, T1), (C0, T0)))
+
+        init = (C1, T1, P0, jnp.asarray(0), jnp.asarray(jnp.inf, jnp.float64))
+        Cf, Tf, Pf, _, _ = lax.while_loop(cond, body, init)
+        return Cf, Tf, Pf
+
+    @jax.custom_vjp
+    def converge(sites, C, T):
+        Cf, Tf, _ = _converge_raw(sites, C, T)
+        return Cf, Tf
+
+    def fwd(sites, C, T):
+        Cf, Tf, Pf = _converge_raw(sites, C, T)
+        return (Cf, Tf), (sites, Cf, Tf, Pf)
+
+    def bwd(res, cot):
+        sites, Cf, Tf, Pf = res
+        P_star = jax.tree_util.tree_map(lax.stop_gradient, Pf)
+        _, vjp_fn = jax.vjp(
+            lambda s_, C_, T_: one_iter_gauged(s_, C_, T_, P_star,
+                                               sg_norm=False)[:2],
+            sites, Cf, Tf,
+        )
+
+        def norm2(t):
+            return sum(jnp.vdot(x, x).real for x in jax.tree_util.tree_leaves(t))
+
+        cot_norm = norm2(cot)
+        da0 = jax.tree_util.tree_map(jnp.zeros_like, sites)
+
+        def cond(carry):
+            _, u, i, delta, _, grew = carry
+            return jnp.logical_and(
+                jnp.logical_and(i < adjoint_max_iter,
+                                delta > adjoint_tol**2 * cot_norm),
+                jnp.logical_and(grew < 4, delta < 1.0e4 * cot_norm),
+            )
+
+        def body(carry):
+            da, u, i, delta, _, grew = carry
+            da_i, uC, uT = vjp_fn(u)
+            da = jax.tree_util.tree_map(jnp.add, da, da_i)
+            delta_next = norm2((uC, uT))
+            grew = jnp.where(delta_next > delta, grew + 1, 0)
+            return (da, (uC, uT), i + 1, delta_next, delta, grew)
+
+        init = (da0, cot, jnp.asarray(0), cot_norm, jnp.asarray(jnp.inf),
+                jnp.asarray(0))
+        da, _, n_adj, delta_f, _, grew_f = lax.while_loop(cond, body, init)
+        diverged = jnp.logical_and(
+            jnp.logical_or(grew_f >= 4, delta_f >= 1.0e4 * cot_norm),
+            delta_f > adjoint_tol**2 * cot_norm,
+        )
+        lax.cond(
+            diverged,
+            lambda: jax.debug.print(
+                "tpeps: generic implicit CTMRG adjoint diverging (iter {i}, "
+                "|u|^2={d}); gradient truncated — use grad_mode='scan'",
+                i=n_adj, d=delta_f,
+            ),
+            lambda: None,
+        )
+        zC = jax.tree_util.tree_map(jnp.zeros_like, Cf)
+        zT = jax.tree_util.tree_map(jnp.zeros_like, Tf)
+        return (da, zC, zT)
+
+    converge.defvjp(fwd, bwd)
+    return converge
+
+
+def converge_env_generic(state_sites, env: ENV, state, ctm_cfg):
+    """Differentiable converged generic environment, strategy selected by
+    ``ctm_cfg.grad_mode``: "implicit" (fixed-point adjoint, constant
+    memory) or "scan" (the truncated-backprop tail of
+    :func:`run_differentiable`)."""
+    if ctm_cfg.grad_mode == "scan":
+        return run_differentiable(state_sites, env, state, ctm_cfg)
+    fn = make_converge_implicit_generic(state, env.chi, ctm_cfg)
+    C0 = jax.tree_util.tree_map(lax.stop_gradient, dict(env.C))
+    T0 = jax.tree_util.tree_map(lax.stop_gradient, dict(env.T))
+    Cf, Tf = fn(state_sites, C0, T0)
+    return ENV(env.chi, Cf, Tf)

@@ -6,14 +6,21 @@ boundary edge with block-sparse transfer matrices — NO densify bridge,
 so the cost scales with the kept blocks (the point of the abelian
 engine at large chi).
 
-Fermionic correlators come for free: with Grassmann-graded tensors
-(``fermionic=True``) the graded ``tensordot`` inserts every
-anticommutation sign automatically, and ODD operators (c, c^dag) carry
-an explicit string leg (:meth:`AbelianTensor.add_leg`) threaded through
-the growing edge until the partner operator's string meets it; the two
-string ends are closed with a graded identity cap, so all signs are
-still automatic — the reference reaches the same physics through
-hand-placed yastn ``swap_gate`` calls (corrf_fermionic.py:29-227).
+Fermionic correlators: with Grassmann-graded tensors
+(``fermionic=True``) the graded ``tensordot`` inserts anticommutation
+signs automatically, and ODD operators (c, c^dag) carry an explicit
+string leg (:meth:`AbelianTensor.add_leg`) threaded through the growing
+edge until the partner operator's string meets it; the two string ends
+are closed with a graded identity cap — the reference reaches the same
+physics through hand-placed yastn ``swap_gate`` calls
+(corrf_fermionic.py:29-227).  STATUS: on the exact horizontal-dimer
+state the graded path through a bosonically-converged env
+(``env_with_grading``) reproduces |<c_B c^dag_A>|(r) exactly in
+magnitude, but state-convention alignment with the dl engine (whose
+dimer test state's block signs were solved for the dl conventions) is
+open — the validated production fermionic path remains
+:mod:`tpeps.ctm.generic.dl_fermi`; treat odd-operator graded
+correlators here as experimental.
 
 Edge convention (direction (-1,0), growing right): rank-4 AbelianTensor
 ``E[chi_top, Dk, Db, chi_bot]`` (D-pair unfused, matching
@@ -67,14 +74,21 @@ def _string_cap(E, ix, iy):
 
 def _apply_op(a, op):
     """``op[s', s]`` (or ``op[s', s, str]`` for odd operators) applied
-    to the ket: returns ``(a_op[s', u, l, d, r(, str)], has_string)``."""
+    to the ket: returns ``(a_op[s', u, l, d, r(, str)], has_string)``.
+
+    The ket is the LEFT operand so the graded annihilation of the
+    (theta_s, theta-bar_s) pair is ordered ket-first and sign-free —
+    op-first would order the dual leg first and cost a spurious
+    (-1)^{p(s)} (verified on the exact dimer state: density-density
+    came out negated)."""
     if op is None:
         return a, False
-    a_op = op.tensordot(a, ((1,), (0,)))
+    a_op = a.tensordot(op, ((0,), (1,)))
     if op.ndim == 3:
-        # (s', str, u, l, d, r) -> (s', u, l, d, r, str)
-        return a_op.transpose((0, 2, 3, 4, 5, 1)), True
-    return a_op, False
+        # (u, l, d, r, s', str) -> (s', u, l, d, r, str)
+        return a_op.transpose((4, 0, 1, 2, 3, 5)), True
+    # (u, l, d, r, s') -> (s', u, l, d, r)
+    return a_op.transpose((4, 0, 1, 2, 3)), False
 
 
 def apply_TM_1sO(coord, direction, state, env, edge, op=None):

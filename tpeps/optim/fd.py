@@ -56,18 +56,25 @@ def make_fd_grad(loss_fn, params_proto, fd_eps: float = 1.0e-4, chunk: int = 16)
     return fd_grad
 
 
-def optimize_state_fd(params, loss_fn, *, cfg, **kwargs):
+def optimize_state_fd(params, loss_fn, *, cfg, fd_grad_fn=None, **kwargs):
     """L-BFGS driven by finite-difference gradients
     (reference optim/fd_optim_lbfgs_mod.py:37-253).
 
     Same contract as :func:`tpeps.optim.driver.optimize_state` but the
     AD closure is replaced by the batched FD gradient; ``loss_fn`` needs
     no AD support.
+
+    :param fd_grad_fn: optional replacement gradient closure
+        ``x_flat -> (loss0, grad_flat)`` over the split-complex flat
+        parameters — e.g. the mesh-parallel
+        :func:`tpeps.parallel.sharded.fd_grad_sharded` (the SPMD
+        counterpart of the reference's distributed FD,
+        fd_optim_lbfgs_mod_distributed.py:36-221).
     """
     from .driver import merge_complex, optimize_state, split_complex
 
     proto_real = split_complex(params)
-    fd_grad = make_fd_grad(
+    fd_grad = fd_grad_fn if fd_grad_fn is not None else make_fd_grad(
         lambda pr: loss_fn(merge_complex(pr, params)), proto_real,
         fd_eps=cfg.opt.fd_eps,
     )

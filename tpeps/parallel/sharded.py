@@ -112,3 +112,116 @@ def tp_sharded_energy(mesh: Mesh, model_energy, chi: int, n_ctm_iter: int = 2):
         return model_energy(a, env)
 
     return energy
+
+
+# ---------------------------------------------------------------------------
+# Generic-engine sharding
+# ---------------------------------------------------------------------------
+
+_T_CHI_AXES = {
+    # chi-carrying axes of each generic T tensor (tpeps/ctm/generic/env.py):
+    # top (chi_l, D2, chi_r); left (chi_u, chi_d, D2);
+    # bottom (D2, chi_l, chi_r); right (chi_u, D2, chi_d)
+    (0, -1): 0,
+    (-1, 0): 0,
+    (0, 1): 1,
+    (1, 0): 0,
+}
+
+
+def generic_tp_constraint(mesh: Mesh, C: dict, T: dict):
+    """Shard the generic environment's leading chi axes over ``tp``."""
+    cspec = NamedSharding(mesh, P("tp", None))
+    Cs = {k: jax.lax.with_sharding_constraint(v, cspec) for k, v in C.items()}
+    Ts = {}
+    for (c, d), v in T.items():
+        spec = [None] * v.ndim
+        spec[_T_CHI_AXES[d]] = "tp"
+        Ts[(c, d)] = jax.lax.with_sharding_constraint(
+            v, NamedSharding(mesh, P(*spec)))
+    return Cs, Ts
+
+
+def generic_tp_sharded_energy(mesh: Mesh, energy_f, site_of, chi: int,
+                              n_ctm_iter: int = 2, lX: int = 1, lY: int = 1,
+                              tp_shard: bool = True):
+    """Jitted generic-cell energy with tensor-parallel chi sharding —
+    the multi-chip path for the *generic* engine.
+
+    The directional moves of :func:`tpeps.ctm.generic.ctmrg.ctm_move`
+    run under sharding constraints on every env tensor's chi axis, so
+    GSPMD lowers the projector/absorption contractions to collective
+    matmuls over ICI.  Set ``tp_shard=False`` for the replicated
+    baseline (used by the peak-memory comparison test).
+
+    :param energy_f: ``(sites, site_of, C, T) -> scalar``
+    :return: jittable ``sites_dict -> energy``
+    """
+    from ..ctm.generic.ctmrg import ctm_move
+    from ..ctm.generic.env import init_env as g_init
+    from ..ipeps.ipeps import IPEPS
+
+    proj_kwargs = dict(svd_reltol=0.0, eps_multiplet=1e-12,
+                       multiplet_abstol=1e-14, ad_decomp_reg=1e-12)
+
+    def energy(sites):
+        st = IPEPS(sites, vertexToSite=site_of, lX=lX, lY=lY)
+        env = g_init(st, chi, "CTMRG")
+        C, T = dict(env.C), dict(env.T)
+        if tp_shard:
+            C, T = generic_tp_constraint(mesh, C, T)
+        for _ in range(n_ctm_iter):
+            for direction in ((0, -1), (-1, 0), (0, 1), (1, 0)):
+                n = lX if direction in ((-1, 0), (1, 0)) else lY
+                for _ in range(n):
+                    C, T = ctm_move(direction, sites, site_of, C, T, chi,
+                                    proj_kwargs)
+                    if tp_shard:
+                        C, T = generic_tp_constraint(mesh, C, T)
+        return energy_f(sites, site_of, C, T)
+
+    return energy
+
+
+def fd_grad_sharded(mesh: Mesh, loss_fn, params_proto, fd_eps: float = 1.0e-4):
+    """Mesh-parallel batched finite-difference gradient — the SPMD
+    counterpart of the reference's torch.distributed FD scheme
+    (optim/fd_optim_lbfgs_mod_distributed.py:36-221): the displacement
+    batch shards over EVERY mesh device (dp x tp flattened), one
+    displacement per device per wave, with zero communication until the
+    final gather.
+
+    :return: ``fd_grad(x_flat) -> (loss0, grad_flat)`` (plugs into
+        :func:`tpeps.optim.fd.optimize_state_fd` via its ``fd_grad_fn``)
+    """
+    from jax.flatten_util import ravel_pytree
+
+    _, unravel = ravel_pytree(params_proto)
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    flat_mesh = Mesh(np.asarray(mesh.devices).reshape(-1), ("fd",))
+    bspec = NamedSharding(flat_mesh, P("fd"))
+
+    def loss_flat(x):
+        return loss_fn(unravel(x))
+
+    batched = jax.jit(jax.vmap(loss_flat), in_shardings=(bspec,),
+                      out_shardings=bspec)
+    loss_jit = jax.jit(loss_flat)
+
+    def fd_grad(x_flat):
+        x = jnp.asarray(x_flat)
+        n = x.shape[0]
+        f0 = float(loss_jit(x))
+        grad = np.zeros(n)
+        eye = jnp.eye(n, dtype=x.dtype)
+        for start in range(0, n, n_dev):
+            stop = min(start + n_dev, n)
+            pts = x[None, :] + fd_eps * eye[start:stop]
+            if stop - start < n_dev:  # pad the last wave to the device count
+                pts = jnp.concatenate(
+                    [pts, jnp.tile(x[None, :], (n_dev - (stop - start), 1))])
+            fs = np.asarray(batched(pts))[: stop - start]
+            grad[start:stop] = (fs - f0) / fd_eps
+        return f0, jnp.asarray(grad)
+
+    return fd_grad
