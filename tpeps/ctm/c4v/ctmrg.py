@@ -256,8 +256,11 @@ def ctm_move_sl(
             P = fix_eigvec_phase(P)
         else:
             # full-basis Procrustes continuity: pins phases AND rotations
-            # inside degenerate multiplets -> elementwise fixed point
-            P, W = procrustes_align(P, P_ref)
+            # inside degenerate multiplets -> elementwise fixed point.
+            # The column mask keeps the alignment block-diagonal w.r.t.
+            # the multiplet-safe truncation (see procrustes_align).
+            cmask = (jnp.abs(lax.stop_gradient(Dspec)) > 0)
+            P, W = procrustes_align(P, P_ref, col_mask=cmask)
 
     scale_C = jnp.abs(Dspec[0])
     if sg_norm:

@@ -179,7 +179,8 @@ def ctm_move_sl_tpu(
     Dspec, P = _subspace_eigh_op(
         m_apply, P_ref, chi, n_power, eps_multiplet, ad_decomp_reg
     )
-    P, W = procrustes_align(P, P_ref)
+    cmask = jnp.abs(lax.stop_gradient(Dspec)) > 0
+    P, W = procrustes_align(P, P_ref, col_mask=cmask)
 
     scale_C = jnp.abs(Dspec[0])
     if sg_norm:

@@ -209,7 +209,11 @@ def ctm_move(direction, sites, site_of, C, T, chi, proj_kwargs, norm_type="inf",
         P[c], Pt[c] = ctm_get_projectors(direction, c, sites, site_of, C, T, chi,
                                          sites_bra=sites_bra, **proj_kwargs)
         if P_ref is not None:
-            P[c], W = procrustes_align(P[c], P_ref[c])
+            # block-diagonal alignment w.r.t. the multiplet-safe
+            # truncation mask (zero columns must stay zero, see
+            # tpeps/linalg/power.py:procrustes_align)
+            cm = jnp.linalg.norm(lax.stop_gradient(P[c]), axis=0) > 0
+            P[c], W = procrustes_align(P[c], P_ref[c], col_mask=cm)
             Pt[c] = Pt[c] @ jnp.conj(W)
 
     absorb = _ABSORB[direction]

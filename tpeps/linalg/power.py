@@ -43,15 +43,21 @@ def polar_unitary(O, reg: float = 1.0e-12):
     keep = jax.lax.stop_gradient(w) > 1e-24 * w0
     inv_sqrt = jnp.where(keep, jax.lax.rsqrt(jnp.where(keep, w, 1.0)), 0.0)
     W = O @ (V * inv_sqrt[None, :].astype(V.dtype)) @ V.conj().T
-    # TPU's emulated-f64 eigh can emit NaNs on (near-)singular inputs
-    # where CPU f64 is clean (observed at D=7); a gauge rotation may
-    # safely degrade to identity for one move, NaNs may not propagate.
+    # Guard 1: an ill-conditioned overlap (first sweep against a
+    # cold-start basis, or a rank jump between sweeps) would yield a
+    # RANK-DEFICIENT W here — zeroed null directions make W^H diag W
+    # collapse environment directions and (observed on the RVB state)
+    # permanently break exact spectral multiplets.  A gauge rotation may
+    # safely degrade to identity for one move; a non-unitary one may not.
+    cond_ok = jax.lax.stop_gradient(w[-1]) > 1e-20 * w0
+    # Guard 2: TPU's emulated-f64 eigh can emit NaNs on (near-)singular
+    # inputs where CPU f64 is clean (observed at D=7).
     ok = jnp.isfinite(W).all() if not jnp.iscomplexobj(W) else (
         jnp.isfinite(W.real).all() & jnp.isfinite(W.imag).all())
-    return jnp.where(ok, W, jnp.eye(W.shape[0], dtype=W.dtype))
+    return jnp.where(ok & cond_ok, W, jnp.eye(W.shape[0], dtype=W.dtype))
 
 
-def procrustes_align(P, P_ref):
+def procrustes_align(P, P_ref, col_mask=None):
     """Unitary Procrustes alignment of an orthonormal basis onto a
     reference: ``W = argmax_W Re tr(W^H P^H P_ref)`` over unitaries,
     i.e. the unitary polar factor of ``O = P^H P_ref``.
@@ -62,9 +68,26 @@ def procrustes_align(P, P_ref):
     spectral degeneracies (SU(2)/C4v multiplets) — the prerequisite for
     implicit differentiation.
 
+    :param col_mask: optional 0/1 vector marking the KEPT columns of
+        ``P`` (multiplet-safe truncation zeroes the columns of an
+        incomplete multiplet).  The alignment is then made block-diagonal
+        w.r.t. the mask — kept columns only mix among themselves and
+        masked columns map to themselves — so ``P @ W`` preserves the
+        exactly-zero columns.  Without this, aligning a masked projector
+        against a full-rank reference (the cold-start basis of the first
+        sweep) redistributes the kept subspace over ALL columns,
+        desynchronizing C (rank-deficient spectrum) from T (full-rank
+        absorption) and permanently splitting the spectral multiplets
+        that the truncation protected (observed: m ~ 2e-4 instead of
+        1e-16 on the exactly SU(2)-symmetric RVB state).
+
     :return: ``(P @ W, W)``
     """
     O = P.conj().T @ P_ref
+    if col_mask is not None:
+        m = jax.lax.stop_gradient(col_mask).astype(O.real.dtype)
+        eye = jnp.eye(O.shape[0], dtype=O.dtype)
+        O = O * (m[:, None] * m[None, :]) + (1.0 - m)[:, None] * eye
     # ridge toward identity: masked/zero columns of either basis would
     # otherwise make W rank-deficient and the rank loss would propagate
     # through the carried projector (P' = P W) — the ridge completes the

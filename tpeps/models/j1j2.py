@@ -219,6 +219,25 @@ class J1J2_C4V_BIPARTITE(J1J2):
             e = e + 2 * self.j3 * jnp.einsum("ijab,ijab", rho3x1, self.SS)
         return _cast_to_real(e)
 
+    def energy_1x1_tiled(self, a, env: EnvC4v):
+        """Energy per site through the ``*_tiled`` RDM entry points
+        (reference j1j2.py:681-721, ``energy_1x1_tiled``); in tpeps the
+        tiled variants delegate to the fused lowmem contractions — XLA
+        already tiles them — so this is an API-parity alias path."""
+        assert self.lmbd == 0, "energy_1x1_tiled does not include the lambda term"
+        rho_nn = rdm_c4v.rdm2x2_NN_tiled(a, env, sym_pos_def=True)
+        e = 2.0 * self.j1 * jnp.einsum("ijkl,ijkl", rho_nn, self.SS_delta_zz_rot)
+        e = e - 0.5 * self.hz_stag * jnp.einsum("ijkl,ijkl", rho_nn, self.hz_2x1_rot)
+        if self._h_uni_norm > 0:
+            e = e + 0.5 * jnp.einsum("ijkl,ijkl", rho_nn, self.huni_2x1_rot)
+        if abs(self.j2) > 0:
+            rho_nnn = rdm_c4v.rdm2x2_NNN_tiled(a, env, sym_pos_def=True)
+            e = e + 2.0 * self.j2 * jnp.einsum("ijkl,ijkl", rho_nnn, self.SS)
+        if abs(self.j3) > 0:
+            rho3x1 = rdm_c4v.rdm3x1_sl(a, env, sym_pos_def=True)
+            e = e + 2 * self.j3 * jnp.einsum("ijab,ijab", rho3x1, self.SS)
+        return _cast_to_real(e)
+
     def eval_obs(self, a, env: EnvC4v):
         """Observables (m, <sz>, <sp>, <sm>, SS2x1, [SS_nnn], [SS3x1]) —
         reference models/j1j2.py:722-783."""
