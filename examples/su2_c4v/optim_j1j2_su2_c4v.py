@@ -1,5 +1,5 @@
 """Ground-state optimization of J1-J2 with the SU(2)-invariant C4v
-linear-combination ansatz (counterpart of reference
+linear-combination ansatz, AD gradients (counterpart of reference
 examples/su2_c4v/optim_j1j2_su2_c4v.py):
 
     python examples/su2_c4v/optim_j1j2_su2_c4v.py --bond_dim 3 --chi 27
@@ -7,8 +7,10 @@ examples/su2_c4v/optim_j1j2_su2_c4v.py):
 The variational parameters are the coefficients of the SU(2)-singlet
 C4v-A1 elementary tensors, generated programmatically from the
 representation theory (tpeps/su2sym/gen.py — the reference parses
-committed classification tables, su2sym/D{3,5,7,9}.txt).  Gradients are
-vmap-batched finite differences over the coefficient vector.
+committed classification tables, su2sym/D{3,5,7,9}.txt).  Gradients flow
+through the CTMRG fixed point (implicit differentiation or checkpointed
+scan per --CTMARGS_grad_mode); the finite-difference variants live in
+optim_j1j2_su2_c4v_FD*.py.
 """
 
 import os
@@ -17,18 +19,12 @@ import unittest
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
 
-import numpy as np
-
 import tpeps  # noqa: F401
-import jax.numpy as jnp
 
+from lc_common import build_basis, finalize, init_coeffs, make_loss  # noqa: E402
 from tpeps.config import configure, get_args_parser
-from tpeps.ctm.c4v.ctmrg import run_fixed_point
-from tpeps.ctm.c4v.env import init_env
-from tpeps.ipeps.ipeps_lc import IPEPS_LC_1SITE_PG, read_ipeps_lc_1site_pg
 from tpeps.models import j1j2
-from tpeps.optim.fd import optimize_state_fd
-from tpeps.su2sym.gen import import_sym_tensors
+from tpeps.optim.driver import optimize_state
 
 parser = get_args_parser()
 parser.add_argument("--j1", type=float, default=1.0)
@@ -39,42 +35,23 @@ args, unknown_args = parser.parse_known_args()
 
 def main():
     cfg = configure(args)
-    chi, D = cfg.main.chi, cfg.main.bond_dim
     model = j1j2.J1J2_C4V_BIPARTITE(j1=args.j1, j2=args.j2,
                                     dtype=cfg.global_args.jnp_dtype)
+    elem = build_basis(cfg, pg=args.pg)
+    params = {"c": init_coeffs(cfg, elem)}
 
-    # IPEPS_LC_1SITE_PG uses the reference's underscored irrep labels
-    pg_lc = {"A1": "A_1", "A2": "A_2", "B1": "B_1", "B2": "B_2"}[args.pg]
-    elem = [({"meta": {"pg": pg_lc}}, t.astype(cfg.global_args.jnp_dtype))
-            for meta, t in import_sym_tensors(2, D, pg=args.pg)]
-    print(f"SU(2) {args.pg} basis size: {len(elem)} (D={D})")
+    loss_fn = make_loss(cfg, model.energy_1x1_lowmem, elem, differentiable=True)
+    loss_ng = make_loss(cfg, model.energy_1x1_lowmem, elem)
 
-    if cfg.main.instate is not None:
-        state = read_ipeps_lc_1site_pg(cfg.main.instate)
-        c0 = state.coeffs[(0, 0)]
-    else:
-        rng = np.random.RandomState(cfg.main.seed)
-        c0 = jnp.asarray(rng.rand(len(elem)) - 0.5)
+    def obs_fn(p, ctx):
+        print(f"epoch {ctx['epoch']}: e = {ctx['loss']:.12f}")
 
-    ctm_cfg = cfg.ctm
-
-    def loss_fn(params):
-        st = IPEPS_LC_1SITE_PG(elem, {(0, 0): params["c"]})
-        a = st.site((0, 0))
-        a = a / jnp.linalg.norm(a)
-        env0 = init_env(a, chi, ctm_cfg.ctm_env_init_type)
-        env, *_ = run_fixed_point(
-            a=a, env=env0, max_iter=ctm_cfg.ctm_max_iter,
-            conv_tol=ctm_cfg.ctm_conv_tol)
-        return model.energy_1x1_lowmem(a, env)
-
-    params, history = optimize_state_fd({"c": c0}, loss_fn, cfg=cfg)
-
-    st = IPEPS_LC_1SITE_PG(elem, {(0, 0): params["c"]})
-    st.write_to_file(cfg.main.out_prefix + "_state.json")
-    e_fin = float(loss_fn(params))
-    print(f"FINAL {e_fin}")
-    return e_fin
+    params, history = optimize_state(
+        params, loss_fn, cfg=cfg, loss_fn_linesearch=loss_ng, obs_fn=obs_fn,
+        checkpoint_file=cfg.main.out_prefix + "_checkpoint.p",
+        opt_resume=cfg.main.opt_resume,
+    )
+    return finalize(cfg, model, model.energy_1x1_lowmem, elem, params)
 
 
 if __name__ == "__main__":
@@ -84,7 +61,7 @@ if __name__ == "__main__":
 
 
 class TestOptimSU2LC(unittest.TestCase):
-    """The D=3 SU(2)-A1 family has only 2 coefficients; a short FD
+    """The D=3 SU(2)-A1 family has only 2 coefficients; a short AD
     optimization must land in the global basin of the family landscape.
 
     Calibration (round 3): a theta-scan of the full (c0, c1) ray family
@@ -94,9 +71,7 @@ class TestOptimSU2LC(unittest.TestCase):
     ~-0.591 at theta=0 (pure occupation-(1,3) tensor), with a local
     minimum -0.382 at theta=pi/2.  The often-quoted -0.6632 belongs to
     the COMPLEX A1+iA2 D=3 family (Poilblanc-Mambrini), not this real
-    2-tensor family — the earlier threshold of -0.6 was unreachable,
-    and seed 2 started in the local-minimum basin (the optimizer
-    converged correctly to -0.3823)."""
+    2-tensor family — seed 4 starts in the global basin."""
 
     def test_opt_su2_lc_d3(self):
         import jax as _jax
@@ -110,6 +85,7 @@ class TestOptimSU2LC(unittest.TestCase):
         args.out_prefix = "RESULT_test_su2lc"
         e = main()
         assert e < -0.585, e
-        f = args.out_prefix + "_state.json"
-        if os.path.exists(f):
-            os.remove(f)
+        for suffix in ("_state.json", "_checkpoint.p"):
+            f = args.out_prefix + suffix
+            if os.path.exists(f):
+                os.remove(f)

@@ -286,3 +286,35 @@ def test_c4v_width2_transfer_spec():
     assert np.all(np.isfinite(lam1)) and np.all(np.isfinite(lam2))
     assert abs(lam2[0] - 1.0) < 1e-10
     assert np.all(np.diff(lam2) < 1e-8)  # descending magnitudes
+
+
+def test_c4v_dimer_dimer_matches_generic():
+    """C4v corrf_2sOH2sOH_E1 / corrf_2sOV2sOV_E2 against the generic
+    implementations on the identical (1x1-cell) environment via
+    env_c4v_to_generic — the contraction chains are mathematically the
+    same, so agreement is exact."""
+    from tpeps.ctm.c4v import corrf as corrf_c4v
+    from tpeps.ctm.c4v.ctmrg import run_fixed_point
+    from tpeps.ctm.c4v.env import env_c4v_to_generic
+    from tpeps.ctm.c4v.env import init_env as init_env_c4v
+    from tpeps.ctm.generic import corrf as corrf_g
+    from tpeps.groups import su2
+    from tpeps.ipeps.ipeps_c4v import symmetrize_c4v
+
+    rng = np.random.RandomState(7)
+    a = symmetrize_c4v(jnp.asarray(rng.rand(2, 2, 2, 2, 2) - 0.5), normalize=True)
+    env0 = init_env_c4v(a, 8, "CTMRG")
+    env, *_ = run_fixed_point(a, env0, max_iter=80, conv_tol=1e-11)
+    sites, site_of, C, T = env_c4v_to_generic(a, env)
+
+    SS = su2.SU2(2).SS()
+    dist = 3
+    vh_c = np.asarray(corrf_c4v.corrf_2sOH2sOH_E1(a, env, SS, lambda r: SS, dist))
+    vh_g = np.asarray(corrf_g.corrf_2sOH2sOH_E1(
+        (0, 0), (1, 0), sites, site_of, C, T, SS, lambda r: SS, dist))
+    assert np.allclose(vh_c, vh_g, atol=1e-10), (vh_c, vh_g)
+
+    vv_c = np.asarray(corrf_c4v.corrf_2sOV2sOV_E2(a, env, SS, lambda r: SS, dist))
+    vv_g = np.asarray(corrf_g.corrf_2sOV2sOV_E2(
+        (0, 0), (1, 0), sites, site_of, C, T, SS, lambda r: SS, dist))
+    assert np.allclose(vv_c, vv_g, atol=1e-10), (vv_c, vv_g)

@@ -61,6 +61,78 @@ def corrf_1sO1sO(a, env: EnvC4v, op1, get_op2, dist: int):
     return jnp.stack(out)
 
 
+def apply_TM_2sO(a, env: EnvC4v, edge, op2=None):
+    """Apply TWO consecutive transfer columns with an (optional) 2-site
+    operator spanning them (reference corrf_c4v.py:87-177
+    ``apply_TM_2sO``; the gate is SVD-split into a sum of one-site
+    operator pairs — exact at these physical dimensions)."""
+    if op2 is None:
+        return apply_TM_1sO(a, env, apply_TM_1sO(a, env, edge))
+    from ..generic.corrf import _split_op2
+
+    o1s, o2s = _split_op2(op2, a.shape[0])
+    out = None
+    for k in range(o1s.shape[0]):
+        E = apply_TM_1sO(a, env, edge, op=o1s[k])
+        E = apply_TM_1sO(a, env, E, op=o2s[k])
+        out = E if out is None else out + E
+    return out
+
+
+def corrf_2sOH2sOH_E1(a, env: EnvC4v, op1, get_op2, dist: int):
+    """<O1(0,1) O2(r,r+1)> of horizontally-oriented 2-site operators
+    along the channel (reference corrf_c4v.py:381-460); values for
+    r in [1, dist] — op2 is applied after at least one plain column."""
+    E0 = get_edge(env)
+    E1 = apply_TM_2sO(a, env, E0, op2=op1)
+    E0 = apply_TM_2sO(a, env, E0)
+    out = []
+    for _r in range(dist):
+        E12 = apply_TM_2sO(a, env, E1, op2=get_op2(_r))
+        E0n = apply_TM_2sO(a, env, E0)
+        num = apply_edge(env, E12)
+        den = apply_edge(env, E0n)
+        out.append(num / den)
+        E0 = apply_TM_1sO(a, env, E0)
+        E1 = apply_TM_1sO(a, env, E1)
+        scale = jnp.abs(E0).max()
+        E0 = E0 / scale
+        E1 = E1 / scale
+    return jnp.stack(out)
+
+
+def get_edge2(env: EnvC4v):
+    """Width-2 boundary edge C-T-T-C, ``[chi, D^2, D^2, chi]``
+    (reference corrf_c4v.py:28-56)."""
+    C, T = env
+    E = jnp.einsum("xy,xbm->ybm", C, T)
+    E = jnp.einsum("ybm,bwz->ymzw", E, T)
+    return jnp.einsum("ymzw,wv->ymzv", E, C)
+
+
+def corrf_2sOV2sOV_E2(a, env: EnvC4v, op1, get_op2, dist: int):
+    """<O1(0) O2(r)> of vertically-oriented 2-site operators along the
+    channel (reference corrf_c4v.py:461-540): a width-2 transfer channel
+    with the dimer operators inside single columns; values for
+    r in [0, dist]."""
+    E0 = get_edge2(env)
+    cap = get_edge2(env)
+    E1 = apply_TM_1sO_2(a, env, E0, op2=op1)
+    E0 = apply_TM_1sO_2(a, env, E0)
+    out = []
+    for _r in range(dist + 1):
+        E12 = apply_TM_1sO_2(a, env, E1, op2=get_op2(_r))
+        E0 = apply_TM_1sO_2(a, env, E0)
+        E1 = apply_TM_1sO_2(a, env, E1)
+        num = jnp.einsum("abcd,abcd->", E12, cap)
+        den = jnp.einsum("abcd,abcd->", E0, cap)
+        out.append(num / den)
+        scale = jnp.abs(E0).max()
+        E0 = E0 / scale
+        E1 = E1 / scale
+    return jnp.stack(out)
+
+
 def apply_TM_1sO_2(a, env: EnvC4v, edge, op2=None):
     """Grow the WIDTH-2 C4v channel by one column (T, a, a, T), with an
     optional vertical 2-site operator inside the column (reference

@@ -282,3 +282,28 @@ class J1J2_C4V_BIPARTITE(J1J2):
         sxsx = corrf_c4v.corrf_1sO1sO(a, env, sx, bilat(sx), dist)
         nsysy = corrf_c4v.corrf_1sO1sO(a, env, isy, bilat(isy), dist)
         return {"ss": szsz + sxsx - nsysy, "szsz": szsz, "sxsx": sxsx, "sysy": -nsysy}
+
+    def _SS_rot_pair(self):
+        """(S.S) with the bipartite rotation applied on the first spin,
+        and its image with the rotation on the second spin (reference
+        models/j1j2.py:883-886)."""
+        rot = su2.get_rot_op(self.phys_dim, dtype=self.dtype)
+        SS_rot = jnp.einsum("ki,kjcb,ca->ijab", rot, self.SS, rot)
+        return SS_rot, SS_rot.transpose(1, 0, 3, 2)
+
+    def eval_corrf_DD_H(self, a, env: EnvC4v, dist: int):
+        """Horizontal dimer-dimer correlations
+        <(S(r+3).S(r+2))(S(1).S(0))> (reference models/j1j2.py:864-895)."""
+        SS_rot, op_rot = self._SS_rot_pair()
+        vals = corrf_c4v.corrf_2sOH2sOH_E1(
+            a, env, SS_rot, lambda r: SS_rot if r % 2 == 0 else op_rot, dist)
+        return {"dd": vals}
+
+    def eval_corrf_DD_V(self, a, env: EnvC4v, dist: int):
+        """Vertical dimer-dimer correlations
+        <(S(r+1,1).S(r+1,0))(S(0,1).S(0,0))> through the width-2 channel
+        (reference models/j1j2.py:896-926)."""
+        SS_rot, op_rot = self._SS_rot_pair()
+        vals = corrf_c4v.corrf_2sOV2sOV_E2(
+            a, env, SS_rot, lambda r: SS_rot if r % 2 == 0 else op_rot, dist)
+        return {"dd": vals}
