@@ -496,3 +496,48 @@ def test_partial_rdm2x2_fidelity():
     kets2[(1, 0)] = 3.0 * a
     assert abs(complex(fidelity_rdm2x2(prdm, kets2)) - 3.0 * fid) \
         < 1e-12 * abs(norm)
+
+
+def test_dl_implicit_gradient_matches_fd():
+    """Implicit fixed-point differentiation of the dl engine
+    (tpeps/ctm/generic/dl.py make_converge_implicit_dl — the
+    counterpart of yastn's FixedPoint/fp_ctmrg used by reference
+    examples/honeycomb/FCI.py): the gradient of a 1x1 dl energy w.r.t.
+    the on-site tensor must match central finite differences."""
+    import jax
+
+    from tpeps.config import CtmArgs
+    from tpeps.ctm.generic.dl import (
+        converge_env_dl,
+        dl_of,
+        init_env_dl,
+        rdm1x1_dl,
+    )
+    from tpeps.groups import su2
+
+    rng = np.random.RandomState(3)
+    d, D, chi = 2, 2, 8
+    a0 = jnp.asarray(rng.rand(d, D, D, D, D) - 0.5)
+    a0 = a0 / jnp.linalg.norm(a0)
+    sz = su2.SU2(2).SZ()
+    cfg = CtmArgs(ctm_max_iter=60, ctm_conv_tol=1e-11, grad_mode="implicit")
+
+    def loss(a):
+        a = a / jnp.linalg.norm(a)
+        E = dl_of(a)
+        E_open = jnp.einsum("suldr,zabce->szualbdcre", a, jnp.conj(a)).reshape(
+            d, d, D * D, D * D, D * D, D * D)
+        env = converge_env_dl(E, init_env_dl(jax.lax.stop_gradient(E), chi),
+                              cfg)
+        rho = rdm1x1_dl(E_open, env)
+        return jnp.real(jnp.trace(rho @ sz) / jnp.trace(rho))
+
+    g = jax.jit(jax.grad(loss))(a0)
+    # central FD on a few random components
+    eps = 1e-6
+    idxs = [tuple(rng.randint(0, s) for s in a0.shape) for _ in range(4)]
+    for ix in idxs:
+        ap = a0.at[ix].add(eps)
+        am = a0.at[ix].add(-eps)
+        fd = (float(loss(ap)) - float(loss(am))) / (2 * eps)
+        assert abs(fd - float(g[ix])) < 2e-5 * max(1.0, abs(fd)), (ix, fd, float(g[ix]))

@@ -280,3 +280,69 @@ def test_kagome_itebd_hosvd():
     env, _ = run_ctm(st, env, CtmArgs(ctm_max_iter=60, ctm_conv_tol=1e-8))
     e = float(np.real(S_HALF_KAGOME(j1=1.0).energy_per_site(st, env)))
     assert e < -0.41, e
+
+
+def test_kagome_itebd_abelian_matches_dense():
+    """Block-sparse 3-site iTEBD (tpeps/itevol/itebd_kagome_abelian.py,
+    reference itevol/itebd_ipess_kagome_abelian.py) against the dense
+    HOSVD evolution from the same committed U(1) RVB D=3 state, with an
+    XXZ-anisotropic triangle gate (multiplet-free truncation): the
+    CTM energies after the same schedule must agree, and the evolved
+    state must keep its U(1) block structure."""
+    import os
+
+    from tpeps.ctm.generic.ctmrg import run as run_ctm
+    from tpeps.ipeps.ipess_kagome import IPESS_KAGOME_GENERIC
+    from tpeps.ipeps.ipess_kagome_abelian import (
+        IPESS_KAGOME_ABELIAN,
+        read_ipess_kagome_abelian,
+    )
+    from tpeps.itevol import itebd_kagome as ikd
+    from tpeps.itevol import itebd_kagome_abelian as ika
+    from tpeps.models.spin_half_kagome import S_HALF_KAGOME
+
+    path = os.path.join(
+        os.environ.get("TPEPS_REFERENCE", "/root/reference"), "test-input",
+        "abelian", "IPESS_KAGOME_RVB_D3_abelian-U1_state.json")
+    if not os.path.isfile(path):
+        import pytest
+
+        pytest.skip("reference test-input not available")
+
+    st = read_ipess_kagome_abelian(path)
+    tdA = dict(st.ipess_tensors[(0, 0)])
+    tdD = {k: jnp.asarray(v.to_dense()) for k, v in tdA.items()}
+
+    s2 = SU2(2)
+    delta = 1.3
+    SS = (delta * jnp.kron(s2.SZ(), s2.SZ())
+          + 0.5 * (jnp.kron(s2.SP(), s2.SM()) + jnp.kron(s2.SM(), s2.SP())))
+    I2 = jnp.eye(2)
+    h3 = (jnp.kron(SS, I2) + jnp.kron(I2, SS)
+          + delta * jnp.kron(jnp.kron(s2.SZ(), I2), s2.SZ())
+          + 0.5 * (jnp.kron(jnp.kron(s2.SP(), I2), s2.SM())
+                   + jnp.kron(jnp.kron(s2.SM(), I2), s2.SP())))
+
+    D, tau, dt = 3, 0.4, 0.2
+    lamA = ika.init_lambdas_abelian(tdA)
+    lamD = ikd.init_lambdas(tdD)
+    tdA, lamA = ika.itebd(tdA, lamA, h3, tau, dt, D)
+    tdD, lamD = ikd.itebd(tdD, lamD, h3, tau, dt, D)
+
+    model = S_HALF_KAGOME(j1=1.0)
+    cfg = CtmArgs(ctm_max_iter=80, ctm_conv_tol=1e-9)
+
+    # the evolved abelian tensors must still assemble block-sparse
+    stA = IPESS_KAGOME_ABELIAN("U1", tdA)
+    assert stA.site7((0, 0)).blocks
+
+    def energy_of_dense_td(td):
+        st = IPESS_KAGOME_GENERIC({(0, 0): {k: jnp.asarray(v) for k, v in td.items()}})
+        env = init_env(st, 18)
+        env, _ = run_ctm(st, env, cfg)
+        return float(np.real(model.energy_per_site(st, env)))
+
+    eA = energy_of_dense_td({k: v.to_dense() for k, v in tdA.items()})
+    eD = energy_of_dense_td(tdD)
+    assert np.isfinite(eA) and np.isfinite(eD)
+    assert abs(eA - eD) < 5e-6, (eA, eD)

@@ -104,14 +104,29 @@ def _corners(E, C, T):
     return lu, ru, rd, ld
 
 
-def ctm_move_dl(E, env: ENV, chi: int, proj_kwargs):
+def ctm_move_dl(E, env: ENV, chi: int, proj_kwargs, sg_norm=True,
+                P_ref=None, return_P=False):
     """One full 4-direction sweep for the 1x1 dl network.  With C4-
     asymmetric E the four directional moves use the same projector
-    construction as the sl engine (HALVES composition of the corners)."""
+    construction as the sl engine (HALVES composition of the corners).
+
+    :param P_ref: optional tuple of 4 directional gauge-reference
+        projectors — each (P, Pt) pair is rotated by the Procrustes
+        factor aligning P onto the previous sweep's, giving an
+        ELEMENTWISE fixed point (same continuity gauge as the sl
+        engines, tpeps/ctm/generic/ctmrg.py:189)
+    :param sg_norm: stop-gradient the absorption normalizations (False
+        inside the implicit adjoint so the scale direction does not pin
+        a unit eigenvalue)
+    """
+    from ...linalg.power import procrustes_align
+    from jax import lax
+
     C, T = dict(env.C), dict(env.T)
     D2u, D2l, D2d, D2r = E.shape
+    P_out = []
 
-    for direction in ((0, -1), (-1, 0), (0, 1), (1, 0)):
+    for idir, direction in enumerate(((0, -1), (-1, 0), (0, 1), (1, 0))):
         lu, ru, rd, ld = _corners(E, C, T)
         if direction == (0, -1):
             R = ru @ rd
@@ -126,6 +141,15 @@ def ctm_move_dl(E, env: ENV, chi: int, proj_kwargs):
             R = jnp.einsum("ab,cb->ac", rd, ld)
             Rt = jnp.einsum("ab,ca->bc", ru, lu)
         P, Pt = projectors_from_matrices(R, Rt, chi, **proj_kwargs)
+        if P_ref is not None:
+            cm = jnp.linalg.norm(lax.stop_gradient(P), axis=0) > 0
+            P, W = procrustes_align(P, P_ref[idir], col_mask=cm)
+            Pt = Pt @ jnp.conj(W)
+        P_out.append(P)
+
+        def _nn(t):
+            m = jnp.abs(t).max()
+            return t / (jax.lax.stop_gradient(m) if sg_norm else m)
 
         if direction == (0, -1):
             chi0 = C[(_C, (1, -1))].shape[0]
@@ -138,8 +162,8 @@ def ctm_move_dl(E, env: ENV, chi: int, proj_kwargs):
             z = jnp.einsum("xur,xlq->urlq", T[(_C, (0, -1))], Pt4)
             z = jnp.einsum("urlq,uldm->rqdm", z, E)
             nT = jnp.einsum("rqdm,rmp->qdp", z, P4)
-            C[(_C, (1, -1))], C[(_C, (-1, -1))] = _n(nC1), _n(nC2)
-            T[(_C, (0, -1))] = _n(nT)
+            C[(_C, (1, -1))], C[(_C, (-1, -1))] = _nn(nC1), _nn(nC2)
+            T[(_C, (0, -1))] = _nn(nT)
         elif direction == (-1, 0):
             chi0 = C[(_C, (-1, -1))].shape[0]
             P4 = P.reshape(chi0, D2d, -1)
@@ -151,8 +175,8 @@ def ctm_move_dl(E, env: ENV, chi: int, proj_kwargs):
             z = jnp.einsum("tbw,tuq->bwuq", T[(_C, (-1, 0))], P4)
             z = jnp.einsum("bwuq,uwdr->bqdr", z, E)
             nT = jnp.einsum("bqdr,bdp->qpr", z, Pt4)
-            C[(_C, (-1, -1))], C[(_C, (-1, 1))] = _n(nC1), _n(nC2)
-            T[(_C, (-1, 0))] = _n(nT)
+            C[(_C, (-1, -1))], C[(_C, (-1, 1))] = _nn(nC1), _nn(nC2)
+            T[(_C, (-1, 0))] = _nn(nT)
         elif direction == (0, 1):
             chi0 = C[(_C, (-1, 1))].shape[0]
             P4 = P.reshape(chi0, D2r, -1)
@@ -164,8 +188,8 @@ def ctm_move_dl(E, env: ENV, chi: int, proj_kwargs):
             z = jnp.einsum("mlr,lwq->mrwq", T[(_C, (0, 1))], P4)
             z = jnp.einsum("mrwq,uwmc->rquc", z, E)
             nT = jnp.einsum("rquc,rcp->uqp", z, Pt4)
-            C[(_C, (-1, 1))], C[(_C, (1, 1))] = _n(nC1), _n(nC2)
-            T[(_C, (0, 1))] = _n(nT)
+            C[(_C, (-1, 1))], C[(_C, (1, 1))] = _nn(nC1), _nn(nC2)
+            T[(_C, (0, 1))] = _nn(nT)
         else:
             chi0 = C[(_C, (1, 1))].shape[0]
             P4 = P.reshape(chi0, D2u, -1)
@@ -177,11 +201,13 @@ def ctm_move_dl(E, env: ENV, chi: int, proj_kwargs):
             z = jnp.einsum("twb,tuq->wbuq", T[(_C, (1, 0))], Pt4)
             z = jnp.einsum("wbuq,uldw->bqld", z, E)
             nT = jnp.einsum("bqld,bdp->qlp", z, P4)
-            C[(_C, (1, 1))], C[(_C, (1, -1))] = _n(nC1), _n(nC2)
-            T[(_C, (1, 0))] = _n(nT)
+            C[(_C, (1, 1))], C[(_C, (1, -1))] = _nn(nC1), _nn(nC2)
+            T[(_C, (1, 0))] = _nn(nT)
 
     out = ENV(env.chi)
     out.C, out.T = C, T
+    if return_P:
+        return out, tuple(P_out)
     return out
 
 
@@ -243,6 +269,143 @@ def run_dl_differentiable(E, env: ENV, ctm_cfg):
                          length=ctm_cfg.grad_tail_iter)
     out = ENV(chi)
     out.C, out.T = C, T
+    return out
+
+
+def _env_dist2_dl(e1, e2):
+    d = 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(e1), jax.tree_util.tree_leaves(e2)):
+        d = d + jnp.sum(jnp.abs(a - b) ** 2)
+    return d
+
+
+def make_converge_implicit_dl(chi, ctm_cfg, adjoint_max_iter: int = 100,
+                              adjoint_tol: float = 1.0e-8):
+    """Implicit fixed-point differentiation for the dl engine — the
+    counterpart of the reference's yastn ``FixedPoint`` / ``fp_ctmrg``
+    optimization mode (reference examples/honeycomb/FCI.py:16, yastn
+    tn/fpeps/envs/fixed_pt.py), built exactly like the sl-engine port
+    (tpeps/ctm/generic/ctmrg.py:358 ``make_converge_implicit_generic``):
+
+    Forward: one pivot sweep seeds the 4 directional projector
+    references, then Procrustes-gauge-fixed sweeps run to the
+    ELEMENTWISE fixed point in a ``lax.while_loop``.
+    Backward: Neumann solution of the adjoint equation with the
+    divergence guard; the adjoint sweep differentiates the
+    normalization (``sg_norm=False``) and holds the gauge at the
+    converged projectors.
+
+    :return: ``converge(E, C, T) -> (C*, T*)`` (custom-vjp; call inside
+        a jitted loss)
+    """
+    from jax import lax
+
+    proj_kwargs = dict(
+        svd_reltol=ctm_cfg.projector_svd_reltol,
+        eps_multiplet=ctm_cfg.projector_eps_multiplet,
+        multiplet_abstol=ctm_cfg.projector_multiplet_abstol,
+        ad_decomp_reg=ctm_cfg.ad_decomp_reg,
+    )
+    max_iter = ctm_cfg.ctm_max_iter
+    conv_tol = ctm_cfg.ctm_conv_tol
+
+    def sweep(E, C, T, P_ref, sg_norm=True):
+        e = ENV(chi)
+        e.C, e.T = dict(C), dict(T)
+        e2, P = ctm_move_dl(E, e, chi, proj_kwargs, sg_norm=sg_norm,
+                            P_ref=P_ref, return_P=True)
+        return dict(e2.C), dict(e2.T), P
+
+    def _converge_raw(E, C, T):
+        C1, T1, P0 = sweep(E, C, T, None)
+
+        def cond(carry):
+            _, _, _, i, d2 = carry
+            return jnp.logical_and(i < max_iter, d2 > conv_tol * conv_tol)
+
+        def body(carry):
+            C0, T0, Pr, i, _ = carry
+            C1, T1, P1 = sweep(E, C0, T0, Pr)
+            return (C1, T1, P1, i + 1, _env_dist2_dl((C1, T1), (C0, T0)))
+
+        init = (C1, T1, P0, jnp.asarray(0), jnp.asarray(jnp.inf, jnp.float64))
+        Cf, Tf, Pf, _, _ = lax.while_loop(cond, body, init)
+        return Cf, Tf, Pf
+
+    @jax.custom_vjp
+    def converge(E, C, T):
+        Cf, Tf, _ = _converge_raw(E, C, T)
+        return Cf, Tf
+
+    def fwd(E, C, T):
+        Cf, Tf, Pf = _converge_raw(E, C, T)
+        return (Cf, Tf), (E, Cf, Tf, Pf)
+
+    def bwd(res, cot):
+        E, Cf, Tf, Pf = res
+        P_star = jax.tree_util.tree_map(lax.stop_gradient, Pf)
+        _, vjp_fn = jax.vjp(
+            lambda E_, C_, T_: sweep(E_, C_, T_, P_star, sg_norm=False)[:2],
+            E, Cf, Tf,
+        )
+
+        def norm2(t):
+            return sum(jnp.vdot(x, x).real for x in jax.tree_util.tree_leaves(t))
+
+        cot_norm = norm2(cot)
+        dE0 = jnp.zeros_like(E)
+
+        def cond(carry):
+            _, u, i, delta, _, grew = carry
+            return jnp.logical_and(
+                jnp.logical_and(i < adjoint_max_iter,
+                                delta > adjoint_tol**2 * cot_norm),
+                jnp.logical_and(grew < 4, delta < 1.0e4 * cot_norm),
+            )
+
+        def body(carry):
+            dE, u, i, delta, _, grew = carry
+            dE_i, uC, uT = vjp_fn(u)
+            delta_next = norm2((uC, uT))
+            grew = jnp.where(delta_next > delta, grew + 1, 0)
+            return (dE + dE_i, (uC, uT), i + 1, delta_next, delta, grew)
+
+        init = (dE0, cot, jnp.asarray(0), cot_norm, jnp.asarray(jnp.inf),
+                jnp.asarray(0))
+        dE, _, n_adj, delta_f, _, grew_f = lax.while_loop(cond, body, init)
+        diverged = jnp.logical_and(
+            jnp.logical_or(grew_f >= 4, delta_f >= 1.0e4 * cot_norm),
+            delta_f > adjoint_tol**2 * cot_norm,
+        )
+        lax.cond(
+            diverged,
+            lambda: jax.debug.print(
+                "tpeps: dl implicit CTMRG adjoint diverging (iter {i}, "
+                "|u|^2={d}); gradient truncated — use grad_mode='scan'",
+                i=n_adj, d=delta_f,
+            ),
+            lambda: None,
+        )
+        zC = jax.tree_util.tree_map(jnp.zeros_like, Cf)
+        zT = jax.tree_util.tree_map(jnp.zeros_like, Tf)
+        return (dE, zC, zT)
+
+    converge.defvjp(fwd, bwd)
+    return converge
+
+
+def converge_env_dl(E, env: ENV, ctm_cfg):
+    """Differentiable converged dl environment, strategy per
+    ``ctm_cfg.grad_mode``: "implicit" (fixed-point adjoint) or "scan"
+    (truncated-backprop tail of :func:`run_dl_differentiable`)."""
+    if ctm_cfg.grad_mode == "scan":
+        return run_dl_differentiable(E, env, ctm_cfg)
+    fn = make_converge_implicit_dl(env.chi, ctm_cfg)
+    C0 = jax.tree_util.tree_map(jax.lax.stop_gradient, dict(env.C))
+    T0 = jax.tree_util.tree_map(jax.lax.stop_gradient, dict(env.T))
+    Cf, Tf = fn(E, C0, T0)
+    out = ENV(env.chi)
+    out.C, out.T = Cf, Tf
     return out
 
 

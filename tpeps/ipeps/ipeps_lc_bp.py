@@ -62,3 +62,75 @@ class IPEPS_LC_BP(IPEPS):
                                          minval=-0.5, maxval=0.5),
         }
         return self.set_parameters(c)
+
+    def write_to_file(self, outputfile, tol=1.0e-14, normalize=False):
+        write_ipeps_lc_bp(self, outputfile, tol=tol, normalize=normalize)
+
+
+def write_ipeps_lc_bp(state, outputfile, tol=1.0e-14, normalize=False):
+    """JSON with the two elementary-tensor families and the two
+    coefficient vectors (reference ipeps_lc_bp.py:296-370
+    ``write_ipeps_lc_bp``; sparse-entry tensor records as in
+    :func:`tpeps.ipeps.ipeps_lc.write_ipeps_lc_1site_pg`)."""
+    import json
+
+    import numpy as np
+
+    json_state = {"elem_tensors": {"site": [], "bond": []}, "coeffs": {}}
+    for family, rank in (("site", 5), ("bond", 2)):
+        for meta, t in state.elem_tensors[family]:
+            tn = np.asarray(t)
+            entries = []
+            for inds in np.argwhere(np.abs(tn) > tol):
+                v = tn[tuple(inds)]
+                entries.append(" ".join(str(i) for i in inds)
+                               + f" {np.real(v):.14g} {np.imag(v):.14g}")
+            json_state["elem_tensors"][family].append({
+                "meta": meta.get("meta", meta), "dims": list(tn.shape),
+                "numEntries": len(entries), "dtype": str(tn.dtype),
+                "entries": entries,
+            })
+    for family in ("site", "bond"):
+        cn = np.asarray(state.coeffs[family])
+        if normalize:
+            cn = cn / np.abs(cn).max()
+        json_state["coeffs"][family] = {
+            "numEntries": len(cn), "dtype": str(cn.dtype),
+            "entries": [f"{i} {np.real(v):.14g} {np.imag(v):.14g}"
+                        for i, v in enumerate(cn)],
+        }
+    with open(outputfile, "w") as f:
+        json.dump(json_state, f, indent=4, separators=(",", ": "))
+
+
+def read_ipeps_lc_bp(jsonfile):
+    """(reference ipeps_lc_bp.py:174-294 ``read_ipeps_lc_bp``)."""
+    import json
+
+    import numpy as np
+
+    with open(jsonfile) as j:
+        raw = json.load(j)
+    elem_tensors = {"site": [], "bond": []}
+    for family in ("site", "bond"):
+        for symt in raw["elem_tensors"][family]:
+            cplx = "complex" in symt.get("dtype", "float64")
+            t = np.zeros(symt["dims"], dtype=complex if cplx else float)
+            n_ind = len(symt["dims"])
+            for elem in symt["entries"]:
+                tok = elem.split(" ")
+                inds = tuple(int(i) for i in tok[:n_ind])
+                t[inds] = float(tok[n_ind]) + 1j * float(tok[n_ind + 1]) \
+                    if cplx else float(tok[n_ind])
+            elem_tensors[family].append(({"meta": symt["meta"]}, jnp.asarray(t)))
+    coeffs = {}
+    for family in ("site", "bond"):
+        t = raw["coeffs"][family]
+        cplx = "complex" in t.get("dtype", "float64")
+        X = np.zeros(t["numEntries"], dtype=complex if cplx else float)
+        for entry in t["entries"]:
+            tok = entry.split()
+            X[int(tok[0])] = (float(tok[1]) + 1j * float(tok[2])) if cplx \
+                else float(tok[1])
+        coeffs[family] = jnp.asarray(X)
+    return IPEPS_LC_BP(elem_tensors, coeffs)

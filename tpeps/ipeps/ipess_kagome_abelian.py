@@ -27,13 +27,18 @@ from .ipeps_abelian import IPEPS_ABELIAN
 IPESS_KEYS = ("T_u", "T_d", "B_a", "B_b", "B_c")
 
 
-def build_onsite_7(td):
-    """a7[s0, s1, s2, u, l, d, r] from the five elementary tensors."""
+def build_onsite_7(td, normalize=True):
+    """a7[s0, s1, s2, u, l, d, r] from the five elementary tensors.
+
+    ``normalize=False`` keeps the raw scale and stays traceable (for
+    jitted losses over the elementary-tensor blocks)."""
     q = td["B_c"].tensordot(td["T_u"], ((2,), (0,)))   # (s0, j, a, b)
     q = q.tensordot(td["T_d"], ((1,), (0,)))            # (s0, a, b, k, l)
     q = q.tensordot(td["B_b"], ((3,), (1,)))            # (s0, a, b, l, s1, c)
     q = q.tensordot(td["B_a"], ((3,), (1,)))            # (s0, a, b, s1, c, s2, d)
     a7 = q.transpose((0, 3, 5, 1, 2, 4, 6))             # (s0,s1,s2, a,b,c,d)
+    if not normalize:
+        return a7
     n = a7.max_abs()
     return a7 * (1.0 / float(n))
 
@@ -105,3 +110,24 @@ def read_ipess_kagome_abelian(path) -> IPESS_KAGOME_ABELIAN:
         "B_a": raw["B_a"].flip_charges((0, 2)),
     }
     return IPESS_KAGOME_ABELIAN(sym, td)
+
+
+_READ_FLIPS = {"T_u": (1, 2), "B_c": (0, 1), "T_d": (0,),
+               "B_b": (0, 2), "B_a": (0, 2)}
+
+
+def write_ipess_kagome_abelian(state, path):
+    """Write the five elementary tensors in the reference's JSON layout
+    (round-trips with :func:`read_ipess_kagome_abelian`: the same
+    per-leg signature flips are applied in reverse)."""
+    import json
+
+    from ..sym.io import serialize_abelian_tensor
+
+    td = state.ipess_tensors[(0, 0)]
+    out = {"ipess_tensors": {}}
+    for k in IPESS_KEYS:
+        t = td[k].to_backend("np").flip_charges(_READ_FLIPS[k])
+        out["ipess_tensors"][k] = serialize_abelian_tensor(t)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)

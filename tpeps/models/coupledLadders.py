@@ -114,3 +114,35 @@ class COUPLEDLADDERS_D2_BIPARTITE:
                 e = e + jnp.einsum("ijab,jiba", r12, self.alpha * self.h2_rot)
         e = e / len(state.sites)
         return _cast_to_real(e)
+
+    def eval_obs(self, state, env):
+        """Per-site magnetizations + rotated NN bond <S.S>
+        (reference coupledLadders.py:433-516 ``eval_obs`` of the D2
+        ansatz: sublattice rotation absorbed into the bond operators)."""
+        sites, site_of = state.sites, state.vertexToSite
+        obs = {"avg_m": 0.0}
+        for coord in sites:
+            rho = rdm_gen.rdm1x1(coord, sites, site_of, env.C, env.T)
+            norm = jnp.trace(rho)
+            for label, op in self.obs_ops.items():
+                obs[f"{label}{coord}"] = complex(jnp.trace(rho @ op) / norm)
+            obs[f"m{coord}"] = sqrt(
+                abs(obs[f"sz{coord}"] ** 2 + obs[f"sp{coord}"] * obs[f"sm{coord}"])
+            )
+            obs["avg_m"] += obs[f"m{coord}"]
+        obs["avg_m"] /= len(sites)
+        for coord in sites:
+            r21 = rdm_gen.rdm2x1(coord, sites, site_of, env.C, env.T)
+            r12 = rdm_gen.rdm1x2(coord, sites, site_of, env.C, env.T)
+            obs[f"SS2x1{coord}"] = complex(
+                jnp.einsum("ijab,ijab", r21, self.h2_rot)).real
+            obs[f"SS1x2{coord}"] = complex(
+                jnp.einsum("ijab,ijab", r12, self.h2_rot)).real
+        labels = (
+            ["avg_m"]
+            + [f"m{c}" for c in sites]
+            + [f"{l}{c}" for c in sites for l in self.obs_ops]
+            + [f"SS2x1{c}" for c in sites]
+            + [f"SS1x2{c}" for c in sites]
+        )
+        return [obs[l] for l in labels], labels
