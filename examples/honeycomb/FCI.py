@@ -1,0 +1,149 @@
+"""Fixed-point optimization of the fermionic chiral-insulator t-V state
+(counterpart of reference examples/honeycomb/FCI.py, which uses yastn's
+``FixedPoint`` / ``fp_ctmrg`` implicit differentiation).
+
+Same model and state format as optim_CI.py, but the gradient comes from
+IMPLICIT differentiation at the CTM fixed point
+(tpeps/ctm/generic/dl.py make_converge_implicit_dl: Procrustes-gauged
+elementwise fixed point + Neumann adjoint) instead of the truncated
+backprop tail — constant memory in the iteration count, exactly the
+reference's FCI-vs-CI distinction:
+
+    python examples/honeycomb/FCI.py --instate <peps_ad_state.json> \\
+        --chi 18 --t2 0.7 --phi 1.1
+"""
+
+import os
+import sys
+import unittest
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tpeps  # noqa: F401
+from tpeps.config import configure, get_args_parser
+from tpeps.ctm.generic.dl import converge_env_dl, init_env_dl, run_dl
+from tpeps.ctm.generic.dl_fermi import double_tensor
+from tpeps.models.fermion.tv_model import TVModel
+from tpeps.optim.driver import optimize_state
+from tpeps.sym.io import read_peps_ad
+
+parser = get_args_parser()
+parser.add_argument("--V1", type=float, default=0.0)
+parser.add_argument("--V2", type=float, default=0.0)
+parser.add_argument("--V3", type=float, default=0.0)
+parser.add_argument("--t1", type=float, default=1.0)
+parser.add_argument("--t2", type=float, default=0.0)
+parser.add_argument("--t3", type=float, default=0.0)
+parser.add_argument("--phi", type=float, default=0.0)
+parser.add_argument("--mu", type=float, default=0.0)
+parser.add_argument("--m", type=float, default=0.0)
+args, unknown_args = parser.parse_known_args()
+
+
+def optimize_fci(cfg, model, a, noise=0.0, seed=0):
+    """Fixed-point optimization of the graded tensor's blocks."""
+    chi = cfg.main.chi
+    key = jax.random.PRNGKey(seed)
+    blocks0 = {}
+    for k, v in a.blocks.items():
+        v = jnp.asarray(v)
+        if noise:
+            key, k1, k2 = jax.random.split(key, 3)
+            v = v + noise * (jax.random.uniform(k1, v.shape, dtype=jnp.float64)
+                             - 0.5 + 1j * (jax.random.uniform(
+                                 k2, v.shape, dtype=jnp.float64) - 0.5))
+        blocks0[k] = v
+
+    def normalize(blocks):
+        nrm = jnp.sqrt(sum(jnp.sum(jnp.abs(b) ** 2) for b in blocks.values()))
+        return {k: b / nrm for k, b in blocks.items()}
+
+    def loss_fn(blocks):
+        blocks = normalize(blocks)
+        E = double_tensor(a, blocks=blocks)
+        env0 = init_env_dl(jax.lax.stop_gradient(E), chi)
+        env = converge_env_dl(E, env0, cfg.ctm)
+        return model.energy_per_site(a, env, blocks=blocks)
+
+    def loss_fn_ng(blocks):
+        E = double_tensor(a, blocks=normalize(blocks))
+        env, _ = run_dl(E, init_env_dl(E, chi), cfg.ctm)
+        return model.energy_per_site(a, env, blocks=normalize(blocks))
+
+    best, history = optimize_state(
+        blocks0, loss_fn, cfg=cfg, loss_fn_linesearch=loss_fn_ng,
+        checkpoint_file=cfg.main.out_prefix + "_checkpoint.p",
+        opt_resume=cfg.main.opt_resume,
+    )
+    E = double_tensor(a, blocks=normalize(best))
+    env, _ = run_dl(E, init_env_dl(E, chi), cfg.ctm)
+    e = float(model.energy_per_site(a, env, blocks=normalize(best)))
+    obs = model.eval_obs(a, env, blocks=normalize(best))
+    print("epoch, energy, " + ", ".join(obs.keys()))
+    print(f"FINAL, {e}, " + ", ".join(str(float(v)) for v in obs.values()))
+    return e, best
+
+
+def main():
+    cfg = configure(args)
+    model = TVModel(V1=args.V1, V2=args.V2, V3=args.V3, t1=args.t1,
+                    t2=args.t2, t3=args.t3, phi=args.phi, mu=args.mu,
+                    m=args.m)
+    state = read_peps_ad(cfg.main.instate)
+    a = state.site((0, 0))
+    e, _ = optimize_fci(cfg, model, a, noise=cfg.main.instate_noise,
+                        seed=cfg.main.seed)
+    return e
+
+
+if __name__ == "__main__":
+    if unknown_args:
+        raise Exception("Unknown command line arguments: " + str(unknown_args))
+    main()
+
+
+class TestFCI(unittest.TestCase):
+    """Fixed-point optimization of the committed CI seed: a few epochs
+    must lower the t-V energy, with the gradient coming from the
+    implicit dl adjoint (validated against FD in
+    tests/test_generic.py::test_dl_implicit_gradient_matches_fd)."""
+
+    STATE = os.path.join(
+        os.environ.get("TPEPS_REFERENCE", "/root/reference"),
+        "test-input", "abelian", "CI_D3_1x1_U1_state.json")
+
+    def test_fci_lowers_energy(self):
+        if not os.path.isfile(self.STATE):
+            raise unittest.SkipTest("reference test-input not available")
+        jax.config.update("jax_platforms", "cpu")
+        args.instate = self.STATE
+        args.t1, args.t2, args.t3 = 1.0, 0.7, -0.9
+        args.phi = 0.35 * np.pi
+        args.chi = 12
+        args.opt_max_iter = 3
+        args.out_prefix = "/tmp/RESULT_fci_test"
+        args.CTMARGS_ctm_max_iter = 60
+        args.CTMARGS_ctm_conv_tol = 1e-8
+        args.CTMARGS_grad_mode = "implicit"
+        args.CTMARGS_ad_decomp_reg = 1e-8
+        args.OPTARGS_line_search = "backtracking"
+        cfg = configure(args)
+        model = TVModel(t1=args.t1, t2=args.t2, t3=args.t3, phi=args.phi)
+        state = read_peps_ad(self.STATE)
+        a = state.site((0, 0))
+        from tpeps.ctm.generic.dl import init_env_dl as _init
+        from tpeps.ctm.generic.dl import run_dl as _run
+
+        E0 = double_tensor(a)
+        env0, _ = _run(E0, _init(E0, args.chi), cfg.ctm)
+        e_seed = float(model.energy_per_site(a, env0))
+        e, _ = optimize_fci(cfg, model, a, noise=0.0, seed=0)
+        assert e < e_seed + 1e-12, (e, e_seed)
+        assert e - e_seed < -1e-5, (e, e_seed)
+        p = args.out_prefix + "_checkpoint.p"
+        if os.path.exists(p):
+            os.remove(p)

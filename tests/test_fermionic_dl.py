@@ -384,3 +384,74 @@ def test_corrf_distance_dimer():
     valsd = np.asarray(corrf_1sO1sO_h(a, env, nB, nA, 4))
     wantd = np.array([0.0, 0.25, 0.25, 0.25])
     assert np.abs(valsd - wantd).max() < 1e-9, valsd
+
+
+def test_tv_measurement_api_and_factories():
+    """The EnvCTM-style measurement surface (measure_1site/measure_nn,
+    reference tv_model.py:64-238) against the hand-assembled terms of
+    TVModel.energy_per_site on the committed CI state, and the random
+    1x1 U(1)/Z2 state factories (reference tv_model.py:529/909) through
+    a short dl convergence."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpeps.config import CtmArgs
+    from tpeps.ctm.generic.dl import init_env_dl, run_dl
+    from tpeps.models.fermion import tv_model as tv
+    from tpeps.sym.io import read_peps_ad
+
+    jax.config.update("jax_platforms", "cpu")
+    path = os.path.join(
+        os.environ.get("TPEPS_REFERENCE", "/root/reference"),
+        "test-input", "abelian", "CI_D3_1x1_U1_state.json")
+    if not os.path.isfile(path):
+        import pytest
+
+        pytest.skip("reference test-input not available")
+
+    model = tv.TVModel(t1=1.0, t2=0.7, t3=-0.9, phi=0.35 * np.pi)
+    a = read_peps_ad(path).site((0, 0))
+    cfg = CtmArgs(ctm_max_iter=60, ctm_conv_tol=1e-9)
+    env, _ = model.converge(a, 12, cfg)
+
+    sf = model.sf
+    # even pair: <nB nA> on the horizontal bond, against the rho-based value
+    r = model._rhos(a, env)
+    nrm = model._pair(r["h"], model.I, model.I)
+    ref = complex(model._pair(r["h"], model.nB, model.nA) / nrm)
+    got = complex(tv.measure_nn(a, env, sf.n("d"), sf.n("u"), geometry="h"))
+    assert abs(got - ref) < 1e-12, (got, ref)
+    # odd pair: <cB cpA> with automatic string dressing + Fock sign
+    ref = complex(tv.PAIR_FOCK_SIGN["h"]
+                  * model._pair(r["h_odd"], model.cB, model.cpA) / nrm)
+    got = complex(tv.measure_nn(a, env, sf.c("d"), sf.cp("u"), geometry="h"))
+    assert abs(got - ref) < 1e-12, (got, ref)
+    # 1-site
+    rho1 = r["1"]
+    ref = complex(jnp.einsum("ab,ba->", rho1, jnp.asarray(model.nA))
+                  / jnp.trace(rho1))
+    got = complex(tv.measure_1site(a, env, sf.n("u")))
+    assert abs(got - ref) < 1e-12, (got, ref)
+
+    # factories: a random U(1) state converges and gives a physical
+    # density; the Z2 state (different phys-basis ordering) converges
+    # with a positive norm RDM
+    st = tv.random_1x1_state_U1({-1: 1, 0: 1, 1: 1}, key=5)
+    ar = st.site((0, 0))
+    E = tv.double_tensor(ar)
+    envr, _ = run_dl(E, init_env_dl(E, 8), cfg)
+    val = complex(tv.measure_1site(ar, envr, sf.n("u")))
+    assert np.isfinite(val.real)
+    assert -1e-6 < val.real < 1 + 1e-6, val
+
+    from tpeps.ctm.generic.dl import rdm1x1_dl
+    from tpeps.ctm.generic.dl_fermi import double_tensor_open
+
+    stz = tv.random_1x1_state_Z2({0: 1, 1: 1}, key=5)
+    az = stz.site((0, 0))
+    Ez = tv.double_tensor(az)
+    envz, _ = run_dl(Ez, init_env_dl(Ez, 8), cfg)
+    rho = rdm1x1_dl(double_tensor_open(az), envz)
+    assert float(jnp.abs(jnp.trace(rho))) > 0

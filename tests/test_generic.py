@@ -541,3 +541,54 @@ def test_dl_implicit_gradient_matches_fd():
         am = a0.at[ix].add(-eps)
         fd = (float(loss(ap)) - float(loss(am))) / (2 * eps)
         assert abs(fd - float(g[ix])) < 2e-5 * max(1.0, abs(fd)), (ix, fd, float(g[ix]))
+
+
+def test_dl_cell_matches_sl_bipartite():
+    """Multi-site dl engine (tpeps/ctm/generic/dl_cell.py — the
+    coordinate-general double-layer CTM, reference ctm_force_dl mode)
+    against the sl generic engine on a random bosonic 2-site bipartite
+    cell: same 1x1 RDM (hence same observables) at convergence."""
+    from tpeps.config import CtmArgs
+    from tpeps.ctm.generic import rdm as rdm_gen
+    from tpeps.ctm.generic.ctmrg import run
+    from tpeps.ctm.generic.dl import dl_of
+    from tpeps.ctm.generic.dl_cell import (
+        init_env_dl_cell,
+        rdm1x1_dl_cell,
+        run_dl_cell,
+    )
+    from tpeps.ctm.generic.env import init_env
+    from tpeps.ipeps.ipeps import IPEPS
+
+    rng = np.random.RandomState(11)
+    # chi = 16 = the full 2x2-corner rank at D=2: no truncation, so the
+    # two engines' fixed points coincide to convergence accuracy
+    d, D, chi = 2, 2, 16
+    A = jnp.asarray(rng.rand(d, D, D, D, D) - 0.5)
+    B = jnp.asarray(rng.rand(d, D, D, D, D) - 0.5)
+    A, B = A / jnp.linalg.norm(A), B / jnp.linalg.norm(B)
+    sites = {(0, 0): A, (1, 0): B}
+
+    def site_of(c):
+        return ((c[0] + c[1]) % 2, 0)
+
+    st = IPEPS(sites, vertexToSite=site_of, lX=2, lY=2)
+    cfg = CtmArgs(ctm_max_iter=80, ctm_conv_tol=1e-11)
+    env_sl, _ = run(st, init_env(st, chi, "CTMRG"), cfg)
+
+    Es = {c: dl_of(a) for c, a in sites.items()}
+    Eo = {c: jnp.einsum("suldr,zabce->szualbdcre", a, jnp.conj(a)).reshape(
+        d, d, D * D, D * D, D * D, D * D) for c, a in sites.items()}
+    env_dl, _ = run_dl_cell(Es, site_of, init_env_dl_cell(Es, site_of, chi),
+                            cfg)
+
+    for c in sites:
+        rho_sl = rdm_gen.rdm1x1(c, sites, site_of, env_sl.C, env_sl.T)
+        rho_dl = rdm1x1_dl_cell(c, Eo[c], site_of, env_dl)
+        rho_sl = np.asarray(rho_sl / jnp.trace(rho_sl))
+        rho_dl = np.asarray(rho_dl / jnp.trace(rho_dl))
+        # two INDEPENDENT engines converged under the (gauge-invariant)
+        # corner-spectra criterion: agreement is at the environment
+        # convergence level, not bit-level
+        assert np.allclose(rho_sl, rho_dl, atol=5e-6), (
+            c, np.abs(rho_sl - rho_dl).max())

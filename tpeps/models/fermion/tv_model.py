@@ -234,3 +234,116 @@ class TVModel:
                 jnp.einsum("ab,ba->", rho1, jnp.asarray(self.nB)) / nrm),
         }
         return obs
+
+
+# ------------------------------------------------------- measurement API
+# Mirror of the reference's EnvCTM-style measurement surface
+# (tv_model.py:64-238 _measure_1site/_measure_nn/_measure_2x2 over
+# yastn.tn.fpeps.EnvCTM): graded operators go in, the string-dressed dl
+# RDMs and Fock signs are applied automatically based on the operator
+# parity — callers never touch swap gates.
+
+
+def _op_parity(op):
+    """Parity of a graded 2-leg operator (0 = even, 1 = odd)."""
+    from ...sym.tensor import _parity
+
+    return _parity(op.sym, op.n)
+
+
+def measure_1site(a, env, op, blocks=None):
+    """<op> on the fused honeycomb site (reference tv_model.py:107)."""
+    Eo = double_tensor_open(a, blocks=blocks)
+    rho = rdm1x1_dl(Eo, env)
+    return jnp.einsum("ab,ba->", rho, jnp.asarray(_dense(op))) / jnp.trace(rho)
+
+
+def measure_nn(a, env, op0, op1, geometry="h", blocks=None):
+    """<op0 op1> on a bond (reference tv_model.py:111 ``_measure_nn`` /
+    :115 ``_measure_2x2``).
+
+    :param geometry: "h" (site, site+x), "v" (site, site+y),
+        "diag" (site, site+(1,1)), "anti" (site+(0,1), site+(1,0)) —
+        for "anti" the operator order is (upper-right, lower-left),
+        the dl RDM's native order.
+    :param op0, op1: graded operators; odd pairs are routed through the
+        string-dressed RDMs with the exact Fock sign
+        (tpeps/ctm/generic/dl_fermi.py PAIR_STRINGS/PAIR_FOCK_SIGN).
+    """
+    p0, p1 = _op_parity(op0), _op_parity(op1)
+    assert (p0 + p1) % 2 == 0, "odd total parity has vanishing expectation"
+    odd = p0 == 1
+    E = double_tensor(a, blocks=blocks)
+    Eo = double_tensor_open(a, blocks=blocks)
+    fns = {"h": lambda x, y=None: rdm2x1_dl(x, env, y),
+           "v": lambda x, y=None: rdm1x2_dl(x, env, y),
+           "diag": lambda x, y=None: rdm2x2_diag_dl(x, E, env, y),
+           "anti": lambda x, y=None: rdm2x2_anti_dl(x, E, env, y)}
+    rho_even = fns[geometry](Eo)
+    nrm = jnp.einsum("abef,ba,fe->", rho_even, jnp.asarray(np.eye(4)),
+                     jnp.asarray(np.eye(4)))
+    O0, O1 = jnp.asarray(_dense(op0)), jnp.asarray(_dense(op1))
+    if not odd:
+        return jnp.einsum("abef,ba,fe->", rho_even, O0, O1) / nrm
+    si, sj = PAIR_STRINGS[geometry]
+    rho_odd = fns[geometry](double_tensor_open(a, si, blocks=blocks),
+                            double_tensor_open(a, sj, blocks=blocks))
+    return PAIR_FOCK_SIGN[geometry] * jnp.einsum(
+        "abef,ba,fe->", rho_odd, O0, O1) / nrm
+
+
+# --------------------------------------------------------- state factories
+# Counterparts of the reference's random-state zoo
+# (tv_model.py:488-1131).  The dl engine drives 1x1 cells, so the 1x1
+# factories are provided natively; the multi-cell factories of the
+# reference (2x1/3x3/iPESS, :488, :605-1131) await the multi-site
+# fermionic dl engine and are intentionally not stubbed.
+
+
+def phys_leg_u1():
+    """The fused honeycomb physical leg of the shifted-U(1) spinful-
+    fermion basis: charges (-1: |00>, 0: |01>,|10>, +1: |11>) with odd
+    grading shift (matches the committed CI_D3 state's leg)."""
+    from ...sym.tensor import leg
+
+    return leg({-1: 1, 0: 2, 1: 1}, pshift=1)
+
+
+def random_1x1_state_U1(bond_dims, key=0, total_charge=0):
+    """Random U(1) graded 1x1 fermionic state ``a[s,u,l,d,r]``
+    (reference tv_model.py:909-945 ``random_1x1_state_U1``).
+
+    :param bond_dims: dict aux-leg charge -> dimension, e.g.
+        ``{-1: 1, 0: 2, 1: 1}``
+    """
+    import jax as _jax
+
+    from ...ipeps.ipeps_abelian import IPEPS_ABELIAN
+    from ...sym.tensor import AbelianTensor, leg
+
+    aux = leg(dict(bond_dims))
+    a = AbelianTensor.random(
+        _jax.random.PRNGKey(key), "U1", (1, 1, 1, -1, -1),
+        (phys_leg_u1(),) + (aux,) * 4, n=total_charge, fermionic=True)
+    a = a * (1.0 / float(a.norm()))
+    return IPEPS_ABELIAN("U1", {(0, 0): a}, lX=1, lY=1)
+
+
+def random_1x1_state_Z2(bond_dims, key=0):
+    """Random Z2 graded 1x1 fermionic state (reference
+    tv_model.py:529-563 ``random_1x1_state_Z2``); ``bond_dims`` maps
+    charges {0, 1} -> dimensions.  The physical leg carries the fused
+    parity (even: |00>,|11>; odd: |01>,|10>)."""
+    import jax as _jax
+
+    from ...ipeps.ipeps_abelian import IPEPS_ABELIAN
+    from ...sym.tensor import AbelianTensor, leg
+
+    assert sorted(bond_dims) == [0, 1], bond_dims
+    aux = leg(dict(bond_dims))
+    phys = leg({0: 2, 1: 2}, pshift=1)
+    a = AbelianTensor.random(
+        _jax.random.PRNGKey(key), "Z2", (1, 1, 1, -1, -1),
+        (phys,) + (aux,) * 4, n=0, fermionic=True)
+    a = a * (1.0 / float(a.norm()))
+    return IPEPS_ABELIAN("Z2", {(0, 0): a}, lX=1, lY=1)

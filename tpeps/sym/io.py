@@ -34,7 +34,10 @@ def read_abelian_tensor(json_t) -> AbelianTensor:
     """Parse one serialized abelian tensor (format "abelian")."""
     assert json_t.get("format", "abelian") == "abelian"
     nsym = int(json_t.get("nsym", 1))
-    sym = _SYM_OF[json_t["symmetry"]]
+    sym_key = json_t["symmetry"]
+    if isinstance(sym_key, (list, tuple)):  # e.g. ["U1"] / ["U1", "U1"]
+        sym_key = "x".join(sym_key)
+    sym = _SYM_OF[sym_key]
     rank = int(json_t["rank"])
     signature = tuple(int(s) for s in json_t["signature"])
     n = _charge(nsym, json_t.get("n", [0] * nsym))

@@ -422,7 +422,11 @@ class AbelianTensor:
         sig = tuple(self.signature[i] for i in keep_a) + tuple(other.signature[i] for i in keep_b)
         legs = tuple(self.legs[i] for i in keep_a) + tuple(other.legs[i] for i in keep_b)
         n = _qadd(self.sym, self.n, other.n)
-        return AbelianTensor(self.sym, sig, legs, n, out_blocks, self.dtype, fermionic,
+        # dtype PROMOTES across operands (complex x real -> complex);
+        # tracking only self.dtype would mislabel the result and later
+        # cast complex blocks to real in dense assembly
+        out_dtype = jnp.promote_types(self.dtype, other.dtype)
+        return AbelianTensor(self.sym, sig, legs, n, out_blocks, out_dtype, fermionic,
                              self.conj_reversal or other.conj_reversal)
 
     # ------------------------------------------------------------ fusion
@@ -560,7 +564,9 @@ class AbelianTensor:
         through block values."""
         shape = tuple(l.total_dim() for l in self.legs)
         if all(isinstance(b, np.ndarray) for b in self.blocks.values()):
-            out = np.zeros(shape, dtype=_np_dtype(self.dtype))
+            out_dtype = (np.result_type(*(b.dtype for b in self.blocks.values()))
+                         if self.blocks else _np_dtype(self.dtype))
+            out = np.zeros(shape, dtype=out_dtype)
             for qs, b in self.blocks.items():
                 sl = tuple(
                     slice(l.offset(q), l.offset(q) + l.dims[q])
@@ -622,7 +628,10 @@ def _sector_matrices(t: AbelianTensor, row_axes, col_axes):
             offc += col_dims[ck]
         host = all(isinstance(b, np.ndarray) for _, b in items)
         if host:
-            M = np.zeros((off, offc), dtype=_np_dtype(tp.dtype))
+            # derive from the actual blocks: the declared dtype can lag
+            # behind a promotion (guarded also in tensordot)
+            m_dtype = np.result_type(*(np.asarray(b).dtype for _, b in items))
+            M = np.zeros((off, offc), dtype=m_dtype)
             for qs, b in items:
                 rk, ck = tuple(qs[:nrow]), tuple(qs[nrow:])
                 M[
