@@ -137,6 +137,12 @@ class CtmArgs:
     grad_tail_iter: int = 20
     grad_adjoint_max_iter: int = 100
     grad_adjoint_tol: float = 1.0e-8
+    # VJP-only gap regularizer FLOOR applied inside the implicit
+    # adjoints (forward values unaffected): raise to ~1e-4 for states
+    # with exact spectral multiplets (SU(2)/U(1) degeneracies), where
+    # the default accuracy-first value lets the Neumann adjoint diverge
+    # (the guard then truncates the gradient)
+    grad_adjoint_decomp_reg: float = 1.0e-6
     verbosity_initialization: int = 0
     verbosity_ctm_convergence: int = 0
     verbosity_projectors: int = 0

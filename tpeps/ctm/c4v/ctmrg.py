@@ -481,8 +481,16 @@ def converge_env(a, env: EnvC4v, ctm_cfg) -> EnvC4v:
     ``ctm_cfg.grad_mode`` (see :class:`tpeps.config.CtmArgs`)."""
     method, n_power = _cfg_projector(ctm_cfg)
     if ctm_cfg.grad_mode == "implicit":
+        # the implicit adjoint differentiates the projector
+        # decompositions AT the fixed point, where exact spectral
+        # multiplets make weakly-regularized gap inverses explode
+        # (observed |u|^2 ~ 1e14 after one adjoint sweep on SU(2)
+        # states); ad_decomp_reg only conditions the VJP — forward
+        # values are unaffected — so floor it here
         fn = _make_converge_implicit(
-            True, 1.0e-12, ctm_cfg.ad_decomp_reg, ctm_cfg.ctm_absorb_normalization,
+            True, 1.0e-12,
+            max(ctm_cfg.ad_decomp_reg, ctm_cfg.grad_adjoint_decomp_reg),
+            ctm_cfg.ctm_absorb_normalization,
             ctm_cfg.ctm_max_iter, ctm_cfg.ctm_conv_tol,
             ctm_cfg.grad_adjoint_max_iter, ctm_cfg.grad_adjoint_tol,
             method, n_power,

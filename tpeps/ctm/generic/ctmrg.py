@@ -379,6 +379,14 @@ def make_converge_implicit_generic(state, chi, ctm_cfg,
     :return: ``converge(sites, C, T) -> (C*, T*)`` (custom-vjp callable;
         call inside a jitted loss)
     """
+    import dataclasses
+
+    # floor the VJP gap regularizer: the adjoint differentiates the
+    # projector decompositions at the fixed point where exact spectral
+    # multiplets live (forward values are unaffected by ad_decomp_reg)
+    ctm_cfg = dataclasses.replace(
+        ctm_cfg, ad_decomp_reg=max(ctm_cfg.ad_decomp_reg,
+                                   ctm_cfg.grad_adjoint_decomp_reg))
     _, _, one_iter_gauged = make_ctmrg_iter(state, chi, ctm_cfg,
                                             return_gauged=True)
     max_iter = ctm_cfg.ctm_max_iter

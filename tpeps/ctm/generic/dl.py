@@ -304,7 +304,10 @@ def make_converge_implicit_dl(chi, ctm_cfg, adjoint_max_iter: int = 100,
         svd_reltol=ctm_cfg.projector_svd_reltol,
         eps_multiplet=ctm_cfg.projector_eps_multiplet,
         multiplet_abstol=ctm_cfg.projector_multiplet_abstol,
-        ad_decomp_reg=ctm_cfg.ad_decomp_reg,
+        # VJP-only gap regularizer floored for the adjoint (degenerate
+        # multiplets at the fixed point; values unaffected)
+        ad_decomp_reg=max(ctm_cfg.ad_decomp_reg,
+                          ctm_cfg.grad_adjoint_decomp_reg),
     )
     max_iter = ctm_cfg.ctm_max_iter
     conv_tol = ctm_cfg.ctm_conv_tol

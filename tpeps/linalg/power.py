@@ -95,8 +95,39 @@ def procrustes_align(P, P_ref, col_mask=None):
     # ~2e-12 floor on the elementwise environment residual (measured),
     # well below practical convergence tolerances.
     O = O + 1e-12 * jnp.eye(O.shape[0], dtype=O.dtype)
-    W = polar_unitary(O)
+    W = _polar_unitary_stable(O)
     return P @ W, W
+
+
+@jax.custom_jvp
+def _polar_unitary_stable(O):
+    """polar_unitary with a degeneracy-proof derivative.
+
+    The generic eigh-based AD of ``W = O (O^H O)^{-1/2}`` amplifies
+    cotangents by ~1/reg^2 when the overlap has exactly degenerate
+    singular values (observed: |u|^2 ~ 1e22 after ONE adjoint sweep on
+    U(1)/SU(2)-multiplet states, killing the implicit CTMRG adjoint).
+    But everywhere this function is differentiated — the implicit
+    fixed-point adjoints, where the current projectors are aligned
+    against their own converged values — the overlap is (near-)unitary,
+    and there the polar factor's derivative has the EXACT closed form
+
+        dW = W . skew(W^H dO),   skew(A) = (A - A^H)/2
+
+    (write O = W H; at H = I the hermitian part of W^H dO feeds dH and
+    the skew part feeds W^H dW).  This is perfectly conditioned for any
+    degeneracy structure.
+    """
+    return polar_unitary(O)
+
+
+@_polar_unitary_stable.defjvp
+def _polar_unitary_stable_jvp(primals, tangents):
+    (O,), (dO,) = primals, tangents
+    W = polar_unitary(O)
+    A = W.conj().T @ dO
+    dW = W @ ((A - A.conj().T) * 0.5)
+    return W, dW
 
 
 def cholesky_qr(P, eps: float = 0.0):
