@@ -455,3 +455,107 @@ def test_tv_measurement_api_and_factories():
     envz, _ = run_dl(Ez, init_env_dl(Ez, 8), cfg)
     rho = rdm1x1_dl(double_tensor_open(az), envz)
     assert float(jnp.abs(jnp.trace(rho))) > 0
+
+
+def test_cell_same_tensor_matches_1x1():
+    """Multi-cell fermionic plumbing: a [[0,1]] cell whose two sites
+    hold the SAME tensor must reproduce the 1x1 dl engine's
+    measurements exactly (all geometries, even + odd pairs) — this
+    certifies the coordinate-general RDMs, string placement and Fock
+    signs of the cell path against the oracle-anchored 1x1 path."""
+    from tpeps.config import CtmArgs
+    from tpeps.ctm.generic.dl import init_env_dl, run_dl
+    from tpeps.models.fermion import tv_model as tv
+
+    model = tv.TVModel(t1=1.0, t2=0.5, t3=-0.3, phi=0.2 * np.pi)
+    st1 = tv.random_1x1_state_U1({-1: 1, 0: 1, 1: 1}, key=11)
+    a = st1.site((0, 0))
+    cfg = CtmArgs(ctm_max_iter=120, ctm_conv_tol=1e-12)
+    E = tv.double_tensor(a)
+    env1, _ = run_dl(E, init_env_dl(E, 8), cfg)
+    st2 = tv.pattern_state("U1", [[0, 1]], {0: a, 1: a})
+    env2, _ = model.converge_cell(st2, 8, cfg)
+
+    sf = model.sf
+    for op in (sf.n("u"), sf.n("d")):
+        want = complex(tv.measure_1site(a, env1, op))
+        for c in ((0, 0), (1, 0)):
+            got = complex(tv.measure_1site_cell(st2, env2, op, coord=c))
+            assert abs(got - want) < 1e-8, (c, got, want)
+    pairs = [(sf.n("d"), sf.n("u")), (sf.c("d"), sf.cp("u")),
+             (sf.c("u"), sf.cp("u"))]
+    for g in ("h", "v", "diag", "anti"):
+        for op0, op1 in pairs:
+            want = complex(tv.measure_nn(a, env1, op0, op1, geometry=g))
+            for c in ((0, 0), (1, 0)):
+                got = complex(tv.measure_nn_cell(
+                    st2, env2, op0, op1, coord=c, geometry=g))
+                assert abs(got - want) < 1e-8, (g, c, got, want)
+    e1 = float(model.energy_per_site(a, env1))
+    e2 = float(model.energy_per_site_cell(st2, env2))
+    assert abs(e1 - e2) < 1e-8, (e1, e2)
+
+
+def test_state_2x1_exact_observables():
+    """The deterministic 2x1 seed (|1100> + |0110>)/sqrt(2) per cell
+    (reference tv_model.py:488 ``state_2x1``) is an exact product of
+    4-mode cell states - every observable is hand-computable:
+    densities (1/2, 1, 1/2, 0), intra-cell <nB0 nA1> = 1/2, intra-cell
+    hopping magnitude 1/2, inter-cell density correlation 1/4 and
+    inter-cell hopping 0."""
+    from tpeps.config import CtmArgs
+    from tpeps.models.fermion import tv_model as tv
+
+    st = tv.state_2x1()
+    model = tv.TVModel(t1=1.0)
+    cfg = CtmArgs(ctm_max_iter=80, ctm_conv_tol=1e-12)
+    env, _ = model.converge_cell(st, 6, cfg)
+    sf = model.sf
+
+    for c, (na, nb) in {(0, 0): (0.5, 1.0), (1, 0): (0.5, 0.0)}.items():
+        va = complex(tv.measure_1site_cell(st, env, sf.n("u"), coord=c))
+        vb = complex(tv.measure_1site_cell(st, env, sf.n("d"), coord=c))
+        assert abs(va - na) < 1e-9, (c, va, na)
+        assert abs(vb - nb) < 1e-9, (c, vb, nb)
+
+    # intra-cell bond (0,0)-(1,0)
+    v = complex(tv.measure_nn_cell(st, env, sf.n("d"), sf.n("u"),
+                                   coord=(0, 0), geometry="h"))
+    assert abs(v - 0.5) < 1e-9, v
+    hop = complex(tv.measure_nn_cell(st, env, sf.c("u"), sf.cp("u"),
+                                     coord=(0, 0), geometry="h"))
+    assert abs(abs(hop) - 0.5) < 1e-9, hop
+    # inter-cell bond (1,0)-(2,0): independent cells
+    v = complex(tv.measure_nn_cell(st, env, sf.n("u"), sf.n("u"),
+                                   coord=(1, 0), geometry="h"))
+    assert abs(v - 0.25) < 1e-9, v
+    hop = complex(tv.measure_nn_cell(st, env, sf.c("u"), sf.cp("u"),
+                                     coord=(1, 0), geometry="h"))
+    assert abs(hop) < 1e-9, hop
+
+
+def test_multicell_random_factories_smoke():
+    """The pattern-based random factories (reference tv_model.py:
+    564-1131) produce consistent multi-site cells that converge through
+    the dl cell engine with physical densities."""
+    from tpeps.config import CtmArgs
+    from tpeps.models.fermion import tv_model as tv
+
+    model = tv.TVModel(t1=1.0)
+    cfg = CtmArgs(ctm_max_iter=40, ctm_conv_tol=1e-9)
+    st = tv.random_checkerboard_state_U1({-1: 1, 0: 1, 1: 1}, key=3)
+    assert len(st.sites) == 2 and (st.lX, st.lY) == (2, 2)
+    assert st.vertexToSite((1, 0)) == st.vertexToSite((0, 1))
+    env, _ = model.converge_cell(st, 6, cfg)
+    for c in ((0, 0), (1, 0)):
+        v = complex(tv.measure_1site_cell(st, env, model.sf.n("u"), coord=c))
+        assert np.isfinite(v.real)
+        assert -1e-6 < v.real < 1 + 1e-6, (c, v)
+    # pattern bookkeeping of the remaining factories
+    st = tv.random_3x3_state_Z2({0: 1, 1: 1}, key=1)
+    assert len(st.sites) == 3 and (st.lX, st.lY) == (3, 3)
+    assert st.vertexToSite((2, 1)) == st.vertexToSite((0, 0))
+    st = tv.random_3x3_9_state_U1({-1: 1, 0: 1, 1: 1}, key=1)
+    assert len(st.sites) == 9
+    st = tv.random_1x6_state_U1({-1: 1, 0: 1, 1: 1}, key=1)
+    assert (st.lX, st.lY) == (6, 1)

@@ -292,3 +292,112 @@ def rdm1x1_dl_cell(coord, E_open, site_of, env: ENV):
     q = jnp.einsum("bcwdv,wy->bcydv", q, C[(c, (-1, 1))])
     q = jnp.einsum("bcydv,dyu->bcuv", q, T[(c, (0, 1))])
     return jnp.einsum("bcuv,vu->bc", q, C[(c, (1, 1))])
+
+
+def rdm2x1_dl_cell(coord, Eo0, Eo1, site_of, env: ENV):
+    """Unnormalized rho[s0, z0, s1, z1] of the horizontal pair
+    ``coord``, ``coord + (1, 0)`` (dl.rdm2x1_dl with per-column
+    coordinate-keyed environment rows)."""
+    C, T = env.C, env.T
+    x, y = coord
+    c0, c1 = site_of((x, y)), site_of((x + 1, y))
+    q = jnp.einsum("xy,ymz->xmz", C[(c0, (-1, -1))], T[(c0, (0, -1))])
+    q = jnp.einsum("xmz,xwl->mzwl", q, T[(c0, (-1, 0))])
+    q = jnp.einsum("mzwl,abmldr->abzwdr", q, Eo0)
+    q = jnp.einsum("abzwdr,wv->abzvdr", q, C[(c0, (-1, 1))])
+    q = jnp.einsum("abzvdr,dvu->abzru", q, T[(c0, (0, 1))])
+    q = jnp.einsum("abzru,znw->abrunw", q, T[(c1, (0, -1))])
+    q = jnp.einsum("abrunw,efnrds->abefuwds", q, Eo1)
+    q = jnp.einsum("abefuwds,dug->abefwsg", q, T[(c1, (0, 1))])
+    q = jnp.einsum("abefwsg,wp->abefpsg", q, C[(c1, (1, -1))])
+    q = jnp.einsum("abefpsg,pst->abeftg", q, T[(c1, (1, 0))])
+    return jnp.einsum("abeftg,tg->abef", q, C[(c1, (1, 1))])
+
+
+def rdm1x2_dl_cell(coord, Eo0, Eo1, site_of, env: ENV):
+    """Unnormalized rho[s0, z0, s1, z1] of the vertical pair ``coord``,
+    ``coord + (0, 1)`` (site1 below site0)."""
+    C, T = env.C, env.T
+    x, y = coord
+    c0, c1 = site_of((x, y)), site_of((x, y + 1))
+    q = jnp.einsum("xy,ymz->xmz", C[(c0, (-1, -1))], T[(c0, (0, -1))])
+    q = jnp.einsum("xmz,zp->xmp", q, C[(c0, (1, -1))])
+    q = jnp.einsum("xmp,prv->xmrv", q, T[(c0, (1, 0))])
+    q = jnp.einsum("xmrv,xwl->mrvwl", q, T[(c0, (-1, 0))])
+    q = jnp.einsum("mrvwl,abmldr->abvwd", q, Eo0)
+    q = jnp.einsum("abvwd,wcl->abvdcl", q, T[(c1, (-1, 0))])
+    q = jnp.einsum("abvdcl,efdlgr->abefvcgr", q, Eo1)
+    q = jnp.einsum("abefvcgr,vrt->abefcgt", q, T[(c1, (1, 0))])
+    q = jnp.einsum("abefcgt,cy->abefygt", q, C[(c1, (-1, 1))])
+    q = jnp.einsum("abefygt,gyu->abefut", q, T[(c1, (0, 1))])
+    return jnp.einsum("abefut,tu->abef", q, C[(c1, (1, 1))])
+
+
+# open 2x2 corners with coordinate-keyed environment (mirrors of
+# dl._lu_open/_ru_open/_rd_open/_ld_open)
+
+
+def _corner_lu_open(coord, Eo, site_of, C, T):
+    c = site_of(coord)
+    q = jnp.einsum("xy,ymi->xmi", C[(c, (-1, -1))], T[(c, (0, -1))])
+    q = jnp.einsum("xmi,xjl->mijl", q, T[(c, (-1, 0))])
+    q = jnp.einsum("mijl,abmldr->abjdir", q, Eo)
+    sh = q.shape
+    return q.reshape(sh[0], sh[1], sh[2] * sh[3], sh[4] * sh[5])
+
+
+def _corner_ru_open(coord, Eo, site_of, C, T):
+    c = site_of(coord)
+    q = jnp.einsum("xy,ymb->xmb", C[(c, (1, -1))], T[(c, (1, 0))])
+    q = jnp.einsum("xmb,lnx->mbln", q, T[(c, (0, -1))])
+    q = jnp.einsum("mbln,pqnkdm->pqlkbd", q, Eo)
+    sh = q.shape
+    return q.reshape(sh[0], sh[1], sh[2] * sh[3], sh[4] * sh[5])
+
+
+def _corner_rd_open(coord, Eo, site_of, C, T):
+    c = site_of(coord)
+    q = jnp.einsum("xy,mly->xml", C[(c, (1, 1))], T[(c, (0, 1))])
+    q = jnp.einsum("xml,tnx->mltn", q, T[(c, (1, 0))])
+    q = jnp.einsum("mltn,abukmn->abtulk", q, Eo)
+    sh = q.shape
+    return q.reshape(sh[0], sh[1], sh[2] * sh[3], sh[4] * sh[5])
+
+
+def _corner_ld_open(coord, Eo, site_of, C, T):
+    c = site_of(coord)
+    q = jnp.einsum("xy,txw->ytw", C[(c, (-1, 1))], T[(c, (-1, 0))])
+    q = jnp.einsum("ytw,myr->twmr", q, T[(c, (0, 1))])
+    q = jnp.einsum("twmr,pquwmk->pqturk", q, Eo)
+    sh = q.shape
+    return q.reshape(sh[0], sh[1], sh[2] * sh[3], sh[4] * sh[5])
+
+
+def rdm2x2_diag_dl_cell(coord, Eo0, Eo1, Es, site_of, env: ENV):
+    """Unnormalized rho[s00, z00, s11, z11] of the diagonal NNN pair
+    (``coord``, ``coord + (1, 1)``), closed cell tensors at the
+    off-diagonal sites."""
+    x, y = coord
+    C, T = env.C, env.T
+    lu = _corner_lu_open(coord, Eo0, site_of, C, T)
+    ru = _corner_ru((x + 1, y), Es, site_of, C, T)
+    rd = _corner_rd_open((x + 1, y + 1), Eo1, site_of, C, T)
+    ld = _corner_ld((x, y + 1), Es, site_of, C, T)
+    q = jnp.einsum("abDR,RV->abDV", lu, ru)
+    q = jnp.einsum("abDV,efVL->abefDL", q, rd)
+    return jnp.einsum("abefDL,DL->abef", q, ld)
+
+
+def rdm2x2_anti_dl_cell(coord, Eo0, Eo1, Es, site_of, env: ENV):
+    """Unnormalized rho[s10, z10, s01, z01] of the anti-diagonal NNN
+    pair (``coord + (1, 0)``, ``coord + (0, 1)``) — upper-right site
+    FIRST (the dl.rdm2x2_anti_dl convention)."""
+    x, y = coord
+    C, T = env.C, env.T
+    lu = _corner_lu(coord, Es, site_of, C, T)
+    ru = _corner_ru_open((x + 1, y), Eo0, site_of, C, T)
+    rd = _corner_rd((x + 1, y + 1), Es, site_of, C, T)
+    ld = _corner_ld_open((x, y + 1), Eo1, site_of, C, T)
+    q = jnp.einsum("DR,abRV->abDV", lu, ru)
+    q = jnp.einsum("abDV,VL->abDL", q, rd)
+    return jnp.einsum("abDL,efDL->abef", q, ld)

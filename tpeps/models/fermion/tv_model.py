@@ -141,6 +141,12 @@ class TVModel:
         1x1 unit cell (reference tv_model.py:64-237).  jax-traceable
         (pass ``blocks`` for AD w.r.t. the on-site tensor)."""
         r = self._rhos(a, env, blocks=blocks) if rhos is None else rhos
+        return self._energy_from_rhos(r)
+
+    def _energy_from_rhos(self, r):
+        """Assemble the per-site energy from an RDM dict (keys "1",
+        "h", "v", "diag", "anti" + "_odd" string-dressed variants) —
+        shared by the 1x1 and multi-cell paths."""
         t2p = self.t2 * np.exp(1j * self.phi)
 
         rho1 = r["1"]
@@ -235,6 +241,98 @@ class TVModel:
         }
         return obs
 
+    # ------------------------------------------------------ multi-site cell
+    # Counterpart of the reference's cell-general energy_per_site
+    # (tv_model.py:64-237 iterates psi.sites()/bonds of an arbitrary
+    # RectangularUnitcell): per-site sign-dressed double tensors +
+    # the coordinate-general dl engine (tpeps/ctm/generic/dl_cell.py).
+
+    def converge_cell(self, state, chi, ctm_cfg, blocks=None):
+        """Converge the multi-site-cell dl environment of an
+        ``IPEPS_ABELIAN`` ``state`` (any unit cell)."""
+        from ...ctm.generic.dl_cell import init_env_dl_cell, run_dl_cell
+
+        Es = {c: double_tensor(a, blocks=_blk(blocks, c))
+              for c, a in state.sites.items()}
+        env0 = init_env_dl_cell(Es, state.vertexToSite, chi)
+        return run_dl_cell(Es, state.vertexToSite, env0, ctm_cfg)
+
+    def _rhos_cell(self, state, env, coord, blocks=None):
+        """The per-coordinate RDM dict (same keys as :meth:`_rhos`)
+        from the cell environment."""
+        from ...ctm.generic import dl_cell as dc
+
+        so = state.vertexToSite
+        x, y = coord
+
+        def site(c):
+            return state.sites[so(c)]
+
+        def eo(c, string=()):
+            return double_tensor_open(site(c), string,
+                                      blocks=_blk(blocks, so(c)))
+
+        Es = {c: double_tensor(a, blocks=_blk(blocks, c))
+              for c, a in state.sites.items()}
+        rhos = {
+            "1": dc.rdm1x1_dl_cell(coord, eo(coord), so, env),
+            "h": dc.rdm2x1_dl_cell(coord, eo(coord), eo((x + 1, y)), so, env),
+            "v": dc.rdm1x2_dl_cell(coord, eo(coord), eo((x, y + 1)), so, env),
+            "diag": dc.rdm2x2_diag_dl_cell(
+                coord, eo(coord), eo((x + 1, y + 1)), Es, so, env),
+            "anti": dc.rdm2x2_anti_dl_cell(
+                coord, eo((x + 1, y)), eo((x, y + 1)), Es, so, env),
+        }
+        si, sj = PAIR_STRINGS["h"]
+        rhos["h_odd"] = dc.rdm2x1_dl_cell(
+            coord, eo(coord, si), eo((x + 1, y), sj), so, env)
+        si, sj = PAIR_STRINGS["v"]
+        rhos["v_odd"] = dc.rdm1x2_dl_cell(
+            coord, eo(coord, si), eo((x, y + 1), sj), so, env)
+        si, sj = PAIR_STRINGS["diag"]
+        rhos["diag_odd"] = dc.rdm2x2_diag_dl_cell(
+            coord, eo(coord, si), eo((x + 1, y + 1), sj), Es, so, env)
+        si, sj = PAIR_STRINGS["anti"]
+        rhos["anti_odd"] = dc.rdm2x2_anti_dl_cell(
+            coord, eo((x + 1, y), si), eo((x, y + 1), sj), Es, so, env)
+        return rhos
+
+    def energy_per_site_cell(self, state, env, blocks=None):
+        """Cell-averaged energy per square-lattice site over the dl
+        cell environment; jax-traceable through ``blocks`` (a dict
+        site-key -> block dict)."""
+        coords = sorted(state.sites.keys())
+        e = 0.0
+        for c in coords:
+            e = e + self._energy_from_rhos(
+                self._rhos_cell(state, env, c, blocks=blocks))
+        return jnp.real(e) / len(coords)
+
+    def eval_obs_cell(self, state, env, blocks=None):
+        obs = {}
+        for c in sorted(state.sites.keys()):
+            rho1 = _rho1_cell(state, env, c, blocks=blocks)
+            nrm = jnp.trace(rho1)
+            for nm, op in (("nA", self.nA), ("nB", self.nB)):
+                obs[f"{nm}_{c}"] = jnp.real(
+                    jnp.einsum("ab,ba->", rho1, jnp.asarray(op)) / nrm)
+        return obs
+
+
+def _blk(blocks, c):
+    """Per-site block override lookup (None passes through)."""
+    return None if blocks is None else blocks.get(c)
+
+
+def _rho1_cell(state, env, coord, blocks=None):
+    from ...ctm.generic.dl_cell import rdm1x1_dl_cell
+
+    so = state.vertexToSite
+    a = state.sites[so(coord)]
+    return rdm1x1_dl_cell(
+        coord, double_tensor_open(a, blocks=_blk(blocks, so(coord))),
+        so, env)
+
 
 # ------------------------------------------------------- measurement API
 # Mirror of the reference's EnvCTM-style measurement surface
@@ -292,12 +390,60 @@ def measure_nn(a, env, op0, op1, geometry="h", blocks=None):
         "abef,ba,fe->", rho_odd, O0, O1) / nrm
 
 
+def measure_1site_cell(state, env, op, coord=(0, 0), blocks=None):
+    """``<op>`` at ``coord`` of a multi-site-cell state over the dl
+    cell environment (reference tv_model.py:107 on arbitrary cells)."""
+    rho = _rho1_cell(state, env, coord, blocks=blocks)
+    return jnp.einsum("ab,ba->", rho, jnp.asarray(_dense(op))) / jnp.trace(rho)
+
+
+def measure_nn_cell(state, env, op0, op1, coord=(0, 0), geometry="h",
+                    blocks=None):
+    """``<op0 op1>`` on the bond at ``coord`` of a multi-site-cell
+    state (geometries as in :func:`measure_nn`; ``op0`` acts at the
+    bond's first site — for "anti" that is ``coord + (1, 0)``)."""
+    from ...ctm.generic import dl_cell as dc
+
+    p0, p1 = _op_parity(op0), _op_parity(op1)
+    assert (p0 + p1) % 2 == 0, "odd total parity has vanishing expectation"
+    odd = p0 == 1
+    so = state.vertexToSite
+    x, y = coord
+    second = {"h": (x + 1, y), "v": (x, y + 1),
+              "diag": (x + 1, y + 1), "anti": (x, y + 1)}[geometry]
+    first = (x + 1, y) if geometry == "anti" else coord
+
+    def eo(c, string=()):
+        return double_tensor_open(state.sites[so(c)], string,
+                                  blocks=_blk(blocks, so(c)))
+
+    if geometry in ("diag", "anti"):
+        Es = {c: double_tensor(a, blocks=_blk(blocks, c))
+              for c, a in state.sites.items()}
+        fn = {"diag": dc.rdm2x2_diag_dl_cell,
+              "anti": dc.rdm2x2_anti_dl_cell}[geometry]
+        rho = lambda e0, e1: fn(coord, e0, e1, Es, so, env)  # noqa: E731
+    else:
+        fn = {"h": dc.rdm2x1_dl_cell, "v": dc.rdm1x2_dl_cell}[geometry]
+        rho = lambda e0, e1: fn(coord, e0, e1, so, env)  # noqa: E731
+
+    rho_even = rho(eo(first), eo(second))
+    nrm = jnp.einsum("aaff->", rho_even)
+    O0, O1 = jnp.asarray(_dense(op0)), jnp.asarray(_dense(op1))
+    if not odd:
+        return jnp.einsum("abef,ba,fe->", rho_even, O0, O1) / nrm
+    si, sj = PAIR_STRINGS[geometry]
+    rho_odd = rho(eo(first, si), eo(second, sj))
+    return PAIR_FOCK_SIGN[geometry] * jnp.einsum(
+        "abef,ba,fe->", rho_odd, O0, O1) / nrm
+
+
 # --------------------------------------------------------- state factories
 # Counterparts of the reference's random-state zoo
-# (tv_model.py:488-1131).  The dl engine drives 1x1 cells, so the 1x1
-# factories are provided natively; the multi-cell factories of the
-# reference (2x1/3x3/iPESS, :488, :605-1131) await the multi-site
-# fermionic dl engine and are intentionally not stubbed.
+# (tv_model.py:488-1131): 1x1 factories plus the multi-cell pattern
+# families over the coordinate-general dl engine
+# (tpeps/ctm/generic/dl_cell.py).  Not mirrored: ``random_ipess_state``
+# (:946, a kagome iPESS geometry outside the square-lattice dl engine).
 
 
 def phys_leg_u1():
@@ -347,3 +493,157 @@ def random_1x1_state_Z2(bond_dims, key=0):
         (phys,) + (aux,) * 4, n=0, fermionic=True)
     a = a * (1.0 / float(a.norm()))
     return IPEPS_ABELIAN("Z2", {(0, 0): a}, lX=1, lY=1)
+
+
+def pattern_state(sym, pattern, tensors):
+    """Multi-site ``IPEPS_ABELIAN`` from a row-major tiling pattern.
+
+    :param pattern: list of rows (y-major), each a list of tensor ids —
+        the counterpart of the reference's ``RectangularUnitcell``
+        pattern (tv_model.py:647-1092).
+    :param tensors: dict tensor id -> graded site tensor
+    """
+    from ...ipeps.ipeps_abelian import IPEPS_ABELIAN
+
+    lY, lX = len(pattern), len(pattern[0])
+    assert all(len(row) == lX for row in pattern), pattern
+    id2coord, sites = {}, {}
+    for y, row in enumerate(pattern):
+        for x, tid in enumerate(row):
+            if tid not in id2coord:
+                id2coord[tid] = (x, y)
+                sites[(x, y)] = tensors[tid]
+
+    def vertexToSite(coord):
+        x, y = coord[0] % lX, coord[1] % lY
+        return id2coord[pattern[y][x]]
+
+    return IPEPS_ABELIAN(sym, sites, vertexToSite, lX, lY)
+
+
+def random_cell_state(pattern, bond_dims, sym="U1", key=0, charges=None):
+    """Random fermionic multi-cell state over a tiling ``pattern``
+    (generic engine behind the reference's random-state zoo,
+    tv_model.py:564-1131).
+
+    :param bond_dims: aux-leg charge -> dimension (shared by all bonds)
+    :param charges: optional dict tensor id -> total U(1) charge (the
+        reference's "one tensor with an extra charge" filling device)
+    """
+    import jax as _jax
+
+    from ...sym.tensor import AbelianTensor, leg
+
+    aux = leg(dict(bond_dims))
+    phys = phys_leg_u1() if sym == "U1" else leg({0: 2, 1: 2}, pshift=1)
+    tids = sorted({t for row in pattern for t in row})
+    key = _jax.random.PRNGKey(key) if isinstance(key, int) else key
+    tensors = {}
+    for tid in tids:
+        key, sub = _jax.random.split(key)
+        n = 0 if charges is None else charges.get(tid, 0)
+        t = AbelianTensor.random(sub, sym, (1, 1, 1, -1, -1),
+                                 (phys,) + (aux,) * 4, n=n, fermionic=True)
+        tensors[tid] = t * (1.0 / float(t.norm()))
+    return pattern_state(sym, pattern, tensors)
+
+
+def state_2x1(noise=0.0, key=0):
+    """The deterministic 2x1 dimer seed |1100> + |0110> per unit cell
+    (reference tv_model.py:488-514 ``state_2x1``; U(1)-graded here —
+    the finer grading of the same physical state).  Mode order per
+    fused square-lattice site is (A, B); the two sites share one
+    charge-{-1, 0} bond, all other bonds are trivial."""
+    import jax as _jax
+
+    from ...sym.tensor import AbelianTensor, leg
+
+    Lp = phys_leg_u1()
+    L1 = leg({0: 1})
+    Lb = leg({-1: 1, 0: 1})
+    t0 = AbelianTensor("U1", (1, 1, 1, -1, -1), (Lp, L1, L1, L1, Lb), 0,
+                       dtype=jnp.complex128, fermionic=True)
+    # |11> (phys charge +1) with bond charge -1; |01> (= d+|0>, second
+    # state of the phys charge-0 sector) with bond charge 0
+    blk = np.zeros((1, 1, 1, 1, 1), dtype=complex)
+    blk[0, 0, 0, 0, 0] = 1.0
+    t0.blocks[(1, 0, 0, 0, -1)] = jnp.asarray(blk)
+    blk = np.zeros((2, 1, 1, 1, 1), dtype=complex)
+    blk[1, 0, 0, 0, 0] = 1.0
+    t0.blocks[(0, 0, 0, 0, 0)] = jnp.asarray(blk)
+    t1 = AbelianTensor("U1", (1, 1, 1, -1, -1), (Lp, L1, Lb, L1, L1), 0,
+                       dtype=jnp.complex128, fermionic=True)
+    # |00> (phys charge -1) with bond charge -1; |10> (= u+|0>) with 0
+    blk = np.zeros((1, 1, 1, 1, 1), dtype=complex)
+    blk[0, 0, 0, 0, 0] = 1.0
+    t1.blocks[(-1, 0, -1, 0, 0)] = jnp.asarray(blk)
+    blk = np.zeros((2, 1, 1, 1, 1), dtype=complex)
+    blk[0, 0, 0, 0, 0] = 1.0
+    t1.blocks[(0, 0, 0, 0, 0)] = jnp.asarray(blk)
+    tensors = {0: t0, 1: t1}
+    if noise:
+        k = _jax.random.PRNGKey(key)
+        for tid, t in tensors.items():
+            k, sub = _jax.random.split(k)
+            full = AbelianTensor.random(sub, "U1", t.s, t.legs, n=t.n,
+                                        fermionic=True)
+            for q, b in full.blocks.items():
+                t.blocks[q] = t.blocks.get(q, 0.0) + noise * b
+            tensors[tid] = t * (1.0 / float(t.norm()))
+    return pattern_state("U1", [[0, 1]], tensors)
+
+
+def random_1x3_state_Z2(bond_dims, key=0):
+    """Reference tv_model.py:564 (three columns, Z2)."""
+    return random_cell_state([[0, 1, 2]], bond_dims, sym="Z2", key=key)
+
+
+def random_3x3_state_Z2(bond_dims, key=0):
+    """Reference tv_model.py:605 (diagonal-striped A/B/C, Z2)."""
+    return random_cell_state([[0, 1, 2], [1, 2, 0], [2, 0, 1]],
+                             bond_dims, sym="Z2", key=key)
+
+
+def random_3x3_state_U1(bond_dims, key=0):
+    """Reference tv_model.py:647 (A B C / B C A / C A B, one charged)."""
+    return random_cell_state([[0, 1, 2], [1, 2, 0], [2, 0, 1]],
+                             bond_dims, key=key, charges={0: 1})
+
+
+def random_3x3_2_state_U1(bond_dims, key=0):
+    """Reference tv_model.py:694 (A B C / C A B / B C A, one charged)."""
+    return random_cell_state([[0, 1, 2], [2, 0, 1], [1, 2, 0]],
+                             bond_dims, key=key, charges={0: 1})
+
+
+def random_1x3_state_U1(bond_dims, key=0):
+    """Reference tv_model.py:787."""
+    return random_cell_state([[0, 1, 2]], bond_dims, key=key, charges={0: 1})
+
+
+def random_3x1_state_U1(bond_dims, key=0):
+    """Reference tv_model.py:871 (three rows)."""
+    return random_cell_state([[0], [1], [2]], bond_dims, key=key,
+                             charges={0: 1})
+
+
+def random_1x6_state_U1(bond_dims, key=0):
+    """Reference tv_model.py:742/826 (six columns, two charged)."""
+    return random_cell_state([[0, 1, 2, 3, 4, 5]], bond_dims, key=key,
+                             charges={0: 1, 3: -1})
+
+
+def random_2x2_state_U1(bond_dims, key=0):
+    """Reference tv_model.py:1040 (A B / C D)."""
+    return random_cell_state([[0, 1], [2, 3]], bond_dims, key=key)
+
+
+def random_checkerboard_state_U1(bond_dims, key=0):
+    """Reference tv_model.py:1001 (A B / B A)."""
+    return random_cell_state([[0, 1], [1, 0]], bond_dims, key=key)
+
+
+def random_3x3_9_state_U1(bond_dims, key=0):
+    """Reference tv_model.py:1081 (nine distinct tensors, three charged)."""
+    return random_cell_state([[0, 1, 2], [3, 4, 5], [6, 7, 8]],
+                             bond_dims, key=key, charges={0: 1, 4: 1, 8: -2})
