@@ -296,3 +296,36 @@ def test_ddA_rdm1x1_is_norm_gradient():
     # norm = sum_s conj(a) frame a is bilinear; grad wrt real a is
     # dd + dd (frame symmetric under layer swap at the fixed point)
     assert np.abs(np.array(g) / 2.0 - np.array(dd)).max() < 1e-8
+
+
+def test_lowmem_rdm_peak_memory_receipt():
+    """The lowmem 2x2 RDM variants (the targets of the *_tiled API
+    aliases, tpeps/ctm/c4v/rdm.py) must genuinely reduce XLA peak temp
+    memory vs the full open-corner rdm2x2 — the fusion claim behind
+    aliasing the reference's element-tiled fallbacks
+    (ctm/one_site_c4v/rdm_c4v.py rdm2x2_NN_tiled) is checked by the
+    compiler's own memory analysis, not assumed."""
+    import numpy as np
+
+    from tpeps.ctm.c4v import rdm as r
+    from tpeps.ctm.c4v.ctmrg import run_fixed_point
+    from tpeps.ctm.c4v.env import init_env
+    from tpeps.ipeps.ipeps_c4v import symmetrize_c4v
+
+    D, chi = 4, 32
+    rng = np.random.RandomState(0)
+    a = symmetrize_c4v(jnp.asarray(rng.rand(2, D, D, D, D) - 0.5),
+                       normalize=True)
+    env, *_ = run_fixed_point(a, init_env(a, chi), max_iter=10,
+                              conv_tol=1e-6)
+
+    def temp_bytes(fn):
+        return jax.jit(fn).lower(a, env).compile() \
+            .memory_analysis().temp_size_in_bytes
+
+    full = temp_bytes(r.rdm2x2)
+    nn = temp_bytes(r.rdm2x2_NN_lowmem_sl)
+    nnn = temp_bytes(r.rdm2x2_NNN_lowmem_sl)
+    # measured at D=4 chi=32 f64: 100.7 MB vs 27.3 / 25.2 MB
+    assert nn < 0.5 * full, (nn, full)
+    assert nnn < 0.5 * full, (nnn, full)
