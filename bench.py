@@ -74,6 +74,42 @@ def move_flops(D, chi, slice_phys):
         return 0.0
 
 
+def bench_case_watchdog(D, chi, mode, timeout=1800, retries=2):
+    """Run one :func:`bench_case` in a subprocess with a hard timeout.
+
+    The axon TPU runtime can transiently hang a dispatch forever
+    (observed 2026-08-18: a D=7 f64 program never returned while small
+    probes succeeded); an in-process hang would leave the whole bench
+    with no output.  A timed-out case is retried (the hang is a runtime
+    hiccup, not a property of the program)."""
+    import os
+    import json as _json
+
+    code = (
+        "import json, sys; sys.path.insert(0, sys.argv[1]); import bench; "
+        "ms, n, f = bench.bench_case(int(sys.argv[2]), int(sys.argv[3]), "
+        "mode=sys.argv[4]); print('@@' + json.dumps([ms, int(n), f]))"
+    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    err = "no attempt"
+    for _ in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code, here, str(D), str(chi), mode],
+                timeout=timeout, capture_output=True, text=True,
+            )
+        except subprocess.TimeoutExpired:
+            err = f"timed out after {timeout}s (hung dispatch?)"
+            continue
+        if r.returncode == 0:
+            for line in r.stdout.splitlines():
+                if line.startswith("@@"):
+                    ms, n, f = _json.loads(line[2:])
+                    return ms, n, f
+        err = (r.stderr or r.stdout)[-400:]
+    raise RuntimeError(err)
+
+
 def bench_case(D, chi, max_iter=48, mode="f64", moves_per_sync=4):
     """Converge a random C4v state and time a second, compile-cached run.
 
@@ -207,7 +243,12 @@ def main():
     records = []
     for D, chi, mode in cases:
         try:
-            ms, n_moves, flops = bench_case(D, chi, mode=mode)
+            if on_accel:
+                # hang-proof: each accelerator case in a watchdogged
+                # subprocess (see bench_case_watchdog)
+                ms, n_moves, flops = bench_case_watchdog(D, chi, mode)
+            else:
+                ms, n_moves, flops = bench_case(D, chi, mode=mode)
         except Exception as e:
             print(f"# D={D} {mode} failed: {type(e).__name__}: {e}", file=sys.stderr)
             continue
