@@ -396,6 +396,9 @@ class AbelianTensor:
             con = tuple(qb[i] for i in ax_b)
             b_by_con.setdefault(con, []).append((qb, blk))
 
+        # collect the charge-matched block pairs first; execution strategy
+        # is backend-dependent (see below)
+        pairs = []  # (qout, block_a, block_b, sign)
         for qa, ba in self.blocks.items():
             con = tuple(qa[i] for i in ax_a)
             matches = b_by_con.get(con, [])
@@ -409,15 +412,70 @@ class AbelianTensor:
                     sgn_a *= -1.0 if k % 2 else 1.0
             for qb, bb in matches:
                 qout = tuple(qa[i] for i in keep_a) + tuple(qb[i] for i in keep_b)
-                prod = _lib(ba).tensordot(ba, bb, (ax_a, ax_b))
+                sgn = 1.0
                 if fermionic:
                     sgn = sgn_a * _perm_sign(other._parities(qb), perm_b)
-                    if sgn < 0:
-                        prod = -prod
+                pairs.append((qout, ba, bb, sgn))
+
+        batched = (
+            len(pairs) > 8
+            and _lib(pairs[0][1]) is jnp
+            and _lib(pairs[0][2]) is jnp
+        )
+        if not batched:
+            # host (numpy) backend, or few pairs: plain per-pair tensordots
+            for qout, ba, bb, sgn in pairs:
+                prod = _lib(ba).tensordot(ba, bb, (ax_a, ax_b))
+                if sgn < 0:
+                    prod = -prod
                 if qout in out_blocks:
                     out_blocks[qout] = out_blocks[qout] + prod
                 else:
                     out_blocks[qout] = prod
+        else:
+            # traced/jnp backend: signature-batched execution.  Group the
+            # pairs by (shape_a, shape_b) and run each group as ONE
+            # stacked dot_general (vmapped tensordot), accumulating
+            # same-charge outputs with a segment-sum.  This keeps the
+            # compiled program size O(distinct shape signatures) instead
+            # of O(block pairs) — the difference between the D=8 chi=160
+            # frozen abelian move compiling or exhausting the XLA
+            # compiler (counterpart of the reference's device-resident
+            # yastn torch backend, ctm/generic_abelian/ctmrg.py:159-165).
+            groups = {}
+            for idx, (qout, ba, bb, sgn) in enumerate(pairs):
+                groups.setdefault((ba.shape, bb.shape), []).append(idx)
+            bdot = jax.vmap(lambda x, y: jnp.tensordot(x, y, (ax_a, ax_b)))
+            for idxs in groups.values():
+                if len(idxs) == 1:
+                    qout, ba, bb, sgn = pairs[idxs[0]]
+                    prod = jnp.tensordot(ba, bb, (ax_a, ax_b))
+                    if sgn < 0:
+                        prod = -prod
+                    if qout in out_blocks:
+                        out_blocks[qout] = out_blocks[qout] + prod
+                    else:
+                        out_blocks[qout] = prod
+                    continue
+                A = jnp.stack([pairs[i][1] for i in idxs])
+                B = jnp.stack([pairs[i][2] for i in idxs])
+                prod = bdot(A, B)
+                sgns = [pairs[i][3] for i in idxs]
+                if fermionic and any(s < 0 for s in sgns):
+                    sv = jnp.asarray(np.asarray(sgns), dtype=prod.dtype)
+                    prod = prod * sv.reshape((-1,) + (1,) * (prod.ndim - 1))
+                qouts = [pairs[i][0] for i in idxs]
+                uniq = list(dict.fromkeys(qouts))
+                if len(uniq) != len(qouts):
+                    seg_ids = jnp.asarray([uniq.index(q) for q in qouts],
+                                          dtype=jnp.int32)
+                    prod = jax.ops.segment_sum(prod, seg_ids,
+                                               num_segments=len(uniq))
+                for i, q in enumerate(uniq):
+                    if q in out_blocks:
+                        out_blocks[q] = out_blocks[q] + prod[i]
+                    else:
+                        out_blocks[q] = prod[i]
 
         sig = tuple(self.signature[i] for i in keep_a) + tuple(other.signature[i] for i in keep_b)
         legs = tuple(self.legs[i] for i in keep_a) + tuple(other.legs[i] for i in keep_b)
