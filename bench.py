@@ -74,7 +74,7 @@ def move_flops(D, chi, slice_phys):
         return 0.0
 
 
-def bench_case_watchdog(D, chi, mode, timeout=1800, retries=2):
+def bench_case_watchdog(D, chi, mode, timeout=1800, retries=1):
     """Run one :func:`bench_case` in a subprocess with a hard timeout.
 
     The axon TPU runtime can transiently hang a dispatch forever
@@ -224,7 +224,31 @@ def bench_abelian(timeout: int = 1500):
 
 
 def main():
-    on_accel = accelerator_alive()
+    """Run all bench cases under a GLOBAL wall-clock deadline, printing
+    each JSON record AS SOON as it is measured (flushed).
+
+    Round-3 post-mortem (BENCH_r03.json rc=124, empty tail): the old
+    main() collected every record and printed only at the end; one hung
+    TPU case (2 x 1800 s watchdog retries) ran past the driver's own
+    timeout and the whole bench died with ZERO output.  Now (a) output
+    is incremental + flushed so a timeout still leaves every completed
+    metric on stdout, (b) a global deadline (default 1500 s, override
+    via TPEPS_BENCH_DEADLINE) caps total runtime below any plausible
+    driver timeout, and (c) cases run cheapest-first with the headline
+    (D=7 mixed, the f64-accurate number) LAST so the driver's last-line
+    parse picks the best available metric."""
+    import os
+
+    deadline = time.monotonic() + float(os.environ.get("TPEPS_BENCH_DEADLINE", "1500"))
+
+    def remaining():
+        return deadline - time.monotonic()
+
+    def emit(rec):
+        print(json.dumps(rec), flush=True)
+
+    n_emitted = 0
+    on_accel = accelerator_alive(timeout=min(240, max(60, int(remaining() / 4))))
     if not on_accel:
         # crashed/absent accelerator: fall back to the CPU backend so the
         # benchmark still reports a meaningful number (vs the same-host
@@ -232,25 +256,51 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        print("# accelerator unavailable; benchmarking on CPU backend", file=sys.stderr)
+        print("# accelerator unavailable; benchmarking on CPU backend",
+              file=sys.stderr, flush=True)
 
     import tpeps  # noqa: F401  (enables x64)
 
+    # abelian first (subprocess, cheap on failure), then dense cases
+    # cheap-to-expensive, headline mixed LAST
+    try:
+        if remaining() > 240:
+            ab = bench_abelian(timeout=min(600, int(remaining() - 120)))
+            emit({
+                "metric": "ctmrg_move_c4v_abelian_D8_chi160_frozen",
+                "value": ab["frozen_ms"],
+                "unit": "ms/move",
+                # baseline here = this repo's host-numpy abelian engine on
+                # the same case (the reference publishes no abelian
+                # wall-clock)
+                "vs_baseline": round(ab["host_ms"] / max(ab["frozen_ms"], 1e-9), 1),
+                "host_engine_ms": ab["host_ms"],
+            })
+            n_emitted += 1
+    except Exception as e:
+        print(f"# abelian bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+
     cases = (
-        ((6, 108, "f64"), (7, 147, "f64"), (7, 147, "f32"), (7, 147, "mixed"))
+        ((6, 108, "f64"), (7, 147, "f32"), (7, 147, "f64"), (7, 147, "mixed"))
         if on_accel else ((5, 75, "f64"), (4, 48, "f64"))
     )
-    records = []
     for D, chi, mode in cases:
+        budget = remaining() - 30
+        if budget < 120:
+            print(f"# deadline: skipping D={D} {mode}", file=sys.stderr, flush=True)
+            continue
         try:
             if on_accel:
                 # hang-proof: each accelerator case in a watchdogged
                 # subprocess (see bench_case_watchdog)
-                ms, n_moves, flops = bench_case_watchdog(D, chi, mode)
+                ms, n_moves, flops = bench_case_watchdog(
+                    D, chi, mode, timeout=int(min(900, budget)))
             else:
                 ms, n_moves, flops = bench_case(D, chi, mode=mode)
         except Exception as e:
-            print(f"# D={D} {mode} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            print(f"# D={D} {mode} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
             continue
         rec = {
             "metric": f"ctmrg_move_c4v_D{D}_chi{chi}_{mode}"
@@ -262,30 +312,11 @@ def main():
         if flops > 0:
             rec["flops_per_move"] = flops
             rec["achieved_tflops"] = round(flops / (ms / 1000.0) / 1e12, 4)
-        records.append(rec)
-    try:
-        ab = bench_abelian()
-        records.append({
-            "metric": "ctmrg_move_c4v_abelian_D8_chi160_frozen",
-            "value": ab["frozen_ms"],
-            "unit": "ms/move",
-            # baseline here = this repo's host-numpy abelian engine on the
-            # same case (the reference publishes no abelian wall-clock)
-            "vs_baseline": round(ab["host_ms"] / max(ab["frozen_ms"], 1e-9), 1),
-            "host_engine_ms": ab["host_ms"],
-        })
-    except Exception as e:
-        print(f"# abelian bench failed: {type(e).__name__}: {e}", file=sys.stderr)
-    if not records:
-        print(json.dumps({"metric": "ctmrg_move_c4v", "value": -1, "unit": "ms/move", "vs_baseline": 0}))
-        return
-    # all cases first, headline (largest D, mixed if available) LAST so the
-    # driver's last-line parse picks it up
-    def key(r):
-        return ("mixed" in r["metric"], r["metric"])
-    records.sort(key=key)
-    for rec in records:
-        print(json.dumps(rec))
+        emit(rec)
+        n_emitted += 1
+    if n_emitted == 0:
+        emit({"metric": "ctmrg_move_c4v", "value": -1, "unit": "ms/move",
+              "vs_baseline": 0})
 
 
 if __name__ == "__main__":
