@@ -111,3 +111,20 @@ def test_rdm2x3_compressed_physical():
     comp = np.array(rdm2x3_open1234_compressed(*args, compressed_chi=16))
     n2 = comp / np.trace(comp.reshape(16, 16))
     assert np.abs(n1 - n2).max() < 1e-4
+
+    # 3x2 compressed: the transpose delegate must track the direct 3x2
+    # contraction the same way, and the compressed-chi sequence must
+    # converge monotonically toward the full RDM
+    from tpeps.ctm.generic.rdm_patch import (
+        rdm3x2_open1234, rdm3x2_open1234_compressed, rdm_compressed_sequence)
+
+    full32 = np.array(rdm3x2_open1234(*args))
+    m1 = full32 / np.trace(full32.reshape(16, 16))
+    seq = rdm_compressed_sequence(rdm3x2_open1234_compressed, *args,
+                                  chi_sequence=(8, 16))
+    errs = []
+    for comp32 in seq:
+        m2 = np.array(comp32) / np.trace(np.array(comp32).reshape(16, 16))
+        errs.append(np.abs(m1 - m2).max())
+    assert errs[-1] < 1e-4
+    assert errs[-1] <= errs[0] + 1e-12

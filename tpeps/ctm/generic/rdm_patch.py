@@ -285,3 +285,35 @@ def rdm2x3_open1234_compressed(coord, sites, site_of, C, T, compressed_chi,
 
     rho = jnp.einsum("xXyYcgGd,cdzZ->yzxgYZXG", E, rh)
     return _sym_pos_def_rdm(rho, sym_pos_def=sym_pos_def)
+
+
+def rdm3x2_open1234_compressed(coord, sites, site_of, C, T, compressed_chi,
+                               sym_pos_def: bool = False, proj_kwargs=None):
+    """Compressed 3x2 ring-exchange RDM (counterpart of reference
+    rdm_looped.py:1495 ``rdm3x2_loop_trglringex_compressed``), evaluated
+    as the compressed 2x3 RDM of the diagonally-reflected lattice —
+    same site numbering as :func:`rdm3x2_open1234`."""
+    t_sites, t_site_of, tC, tT = transpose_lattice(sites, site_of, C, T)
+    return rdm2x3_open1234_compressed(
+        (coord[1], coord[0]), t_sites, t_site_of, tC, tT, compressed_chi,
+        sym_pos_def=sym_pos_def, proj_kwargs=proj_kwargs)
+
+
+def rdm_compressed_sequence(rdm_compressed_f, coord, sites, site_of, C, T,
+                            chi_sequence, proj_kwargs=None, **kwargs):
+    """Evaluate a compressed RDM over an increasing ``compressed_chi``
+    sequence (counterpart of reference rdm_looped.py:1745-1788
+    ``rdm2x3_loop_trglringex_compressed_seq``/``rdm3x2_*_seq``): returns
+    the list of RDMs, letting callers monitor convergence in the
+    compression dimension or Richardson-extrapolate an observable.
+
+    :param rdm_compressed_f: :func:`rdm2x3_open1234_compressed` or
+        :func:`rdm3x2_open1234_compressed`
+    :param chi_sequence: iterable of compressed cut dimensions
+    :return: ``[rho(chi_c) for chi_c in chi_sequence]``
+    """
+    return [
+        rdm_compressed_f(coord, sites, site_of, C, T, chi_c,
+                         proj_kwargs=proj_kwargs, **kwargs)
+        for chi_c in chi_sequence
+    ]
