@@ -37,11 +37,17 @@ def _dot(x, y, dn, impl: str):
     """dot_general dispatcher: ``impl="ozaki"`` routes real-f64
     contractions through the exact int8-MXU Ozaki path
     (tpeps/linalg/ozaki.py) instead of XLA's software double-float
-    emulation — the f64-accuracy speed lever of the mixed driver."""
-    if impl == "ozaki" and x.dtype == jnp.float64 and y.dtype == jnp.float64:
+    emulation — the f64-accuracy speed lever of the mixed driver.
+
+    ``"ozaki:<s>"`` selects ``s`` mantissa slices (relative error
+    ~ K * 2**(-7s); the default s=8 gives ~2^-56, s=7 ~2^-49 — still
+    3+ digits below the 1e-8 energy-parity gate — at 28/36 the MXU
+    passes)."""
+    if impl.startswith("ozaki") and x.dtype == jnp.float64 and y.dtype == jnp.float64:
         from ...linalg.ozaki import ozaki_dot_general
 
-        return ozaki_dot_general(x, y, dn)
+        s = int(impl.split(":", 1)[1]) if ":" in impl else 8
+        return ozaki_dot_general(x, y, dn, slices=s)
     return lax.dot_general(x, y, dn)
 
 
