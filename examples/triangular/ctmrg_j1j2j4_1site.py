@@ -65,9 +65,10 @@ def main():
             j1=args.j1, j2=args.j2, j4=args.j4, jchi=args.jchi, dtype=dt)
         state = read_ipeps_trgl_1s_pg(cfg.main.instate)
     if state.site((0, 0)).dtype != dt:
+        extra = {"diag": args.diag} if args.tiling == "1SITEQ" else {}
         model = type(model)(j1=args.j1, j2=args.j2, j4=args.j4,
-                            jchi=args.jchi, diag=args.diag,
-                            dtype=state.site((0, 0)).dtype)
+                            jchi=args.jchi, dtype=state.site((0, 0)).dtype,
+                            **extra)
 
     chis = list(args.sequence_chi) + [cfg.main.chi]
     env = init_env(state, chis[0], cfg.ctm.ctm_env_init_type)
