@@ -6,21 +6,16 @@ boundary edge with block-sparse transfer matrices — NO densify bridge,
 so the cost scales with the kept blocks (the point of the abelian
 engine at large chi).
 
-Fermionic correlators: with Grassmann-graded tensors
-(``fermionic=True``) the graded ``tensordot`` inserts anticommutation
-signs automatically, and ODD operators (c, c^dag) carry an explicit
-string leg (:meth:`AbelianTensor.add_leg`) threaded through the growing
-edge until the partner operator's string meets it; the two string ends
-are closed with a graded identity cap — the reference reaches the same
-physics through hand-placed yastn ``swap_gate`` calls
-(corrf_fermionic.py:29-227).  STATUS: on the exact horizontal-dimer
-state the graded path through a bosonically-converged env
-(``env_with_grading``) reproduces |<c_B c^dag_A>|(r) exactly in
-magnitude, but state-convention alignment with the dl engine (whose
-dimer test state's block signs were solved for the dl conventions) is
-open — the validated production fermionic path remains
-:mod:`tpeps.ctm.generic.dl_fermi`; treat odd-operator graded
-correlators here as experimental.
+Fermionic correlators live in
+:mod:`tpeps.ctm.generic_abelian.corrf_fermionic` (explicit per-block
+sign dressing, machine-exact against the dl engine).  The graded
+string-leg machinery below (``add_leg`` + ``_string_cap``) remains for
+closed graded networks; do NOT evaluate observables by blanket-grading
+a bosonically-converged environment (``env_with_grading``) — the
+bosonic env pieces differ from graded pieces by a non-factorizable
+sign gauge and even parity-even insertions cancel to zero through that
+route (receipt: tests/test_abelian_fermionic_corrf.py anchors the
+explicit-dressing path instead).
 
 Edge convention (direction (-1,0), growing right): rank-4 AbelianTensor
 ``E[chi_top, Dk, Db, chi_bot]`` (D-pair unfused, matching
