@@ -111,3 +111,29 @@ def test_same_env_matches_dl_dense():
         v_dl = np.asarray(corrf_1sO1sO_h(a, denv, dense_op(o1),
                                          dense_op(o2), 3))
         assert np.abs(v_ab - v_dl).max() < 1e-12, (v_ab, v_dl)
+
+
+def test_op_from_dense_roundtrip():
+    """op_from_dense inverts the charge-sorted dense embedding: block
+    content, charge-transfer sector n, and to_dense() all round-trip;
+    a sector-mixing matrix is rejected."""
+    from tpeps.ctm.generic_abelian.corrf_fermionic import op_from_dense
+    from tpeps.models.fermion.tv_model import phys_leg_u1
+
+    Lp = phys_leg_u1()
+    rng = np.random.default_rng(7)
+    # charge-homogeneous annihilator-like op: dq = -1 for every block
+    blocks = {(-1, 0): rng.standard_normal((1, 2)),
+              (0, 1): rng.standard_normal((2, 1))}
+    o = _op(Lp, blocks, -1, jnp.float64)
+    back = op_from_dense(Lp, np.asarray(o.to_dense()))
+    assert back.n == -1
+    assert set(back.blocks) == set(blocks)
+    for k, v in blocks.items():
+        assert np.abs(np.asarray(back.blocks[k]) - v).max() < 1e-14
+    assert np.abs(np.asarray(back.to_dense()) -
+                  np.asarray(o.to_dense())).max() < 1e-14
+    # mixing dq=-1 and dq=+1 sectors must raise
+    bad = np.asarray(o.to_dense()) + np.asarray(o.to_dense()).T
+    with pytest.raises(ValueError):
+        op_from_dense(Lp, bad)

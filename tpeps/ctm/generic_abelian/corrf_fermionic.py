@@ -102,6 +102,39 @@ def double_tensor_ab(a, string=(), open_phys: bool = False):
     return out
 
 
+def op_from_dense(Lp, mat, dtype=None, tol=1e-14):
+    """Charge-homogeneous ``op[z, s]`` AbelianTensor from a dense matrix
+    in the charge-sorted dense basis of physical leg ``Lp`` (inverse of
+    the dense embedding used by dl_fermi / TVModel operators).
+
+    Raises if ``mat`` mixes charge-transfer sectors (not homogeneous).
+    """
+    mat = np.asarray(mat)
+    if dtype is None:
+        dtype = jnp.complex128 if np.iscomplexobj(mat) else jnp.float64
+    off, n_op = {}, None
+    o = 0
+    for q, d in Lp.charges:
+        off[q] = (o, d)
+        o += d
+    blocks = {}
+    for qz, (oz, dz) in off.items():
+        for qs, (os_, ds) in off.items():
+            b = mat[oz:oz + dz, os_:os_ + ds]
+            if np.abs(b).max() <= tol:
+                continue
+            dq = qz - qs if not isinstance(qz, tuple) else tuple(
+                x - y for x, y in zip(qz, qs))
+            if n_op is None:
+                n_op = dq
+            elif n_op != dq:
+                raise ValueError("operator mixes charge-transfer sectors")
+            blocks[(qz, qs)] = jnp.asarray(b, dtype=dtype)
+    out = AbelianTensor("U1", (1, -1), (Lp, Lp), n_op or 0, dtype=dtype)
+    out.blocks.update(blocks)
+    return out
+
+
 def _bosonic(t):
     if not t.fermionic:
         return t
