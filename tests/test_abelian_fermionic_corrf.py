@@ -113,6 +113,74 @@ def test_same_env_matches_dl_dense():
         assert np.abs(v_ab - v_dl).max() < 1e-12, (v_ab, v_dl)
 
 
+def test_double_tensor_ab_matches_dense_mask():
+    """The block-sparse dressed double tensor (closed) embeds to exactly
+    the dense dl_fermi double tensor (sign mask applied per block pair
+    == per dense element)."""
+    from tpeps.ctm.generic.dl_fermi import double_tensor
+    from tpeps.ctm.generic_abelian.corrf_fermionic import double_tensor_ab
+    from tpeps.models.fermion.tv_model import random_1x1_state_U1
+
+    a = random_1x1_state_U1({-1: 1, 0: 1, 1: 1}, key=3).site((0, 0))
+    E_ab = double_tensor_ab(a)                       # (uk,ub,...,rk,rb)
+    Ed = np.asarray(E_ab.to_dense())
+    s = Ed.shape
+    Ed = Ed.reshape(s[0] * s[1], s[2] * s[3], s[4] * s[5], s[6] * s[7])
+    E_ref = np.asarray(double_tensor(a))
+    assert np.abs(Ed - E_ref).max() < 1e-13
+
+
+def test_independent_graded_env_matches_dl():
+    """INDEPENDENT environments, one per engine: the graded abelian env
+    (ctmrg_dl.run_fermionic — fixed point of the sign-dressed double
+    layer) reproduces the dense dl_fermi correlators.  This is the
+    round-4 bug regression: an env converged on the BOSONIC layer
+    (ctmrg_ab.run) is a fixed point of the wrong transfer operator and
+    disagrees at distance (~7e-3 on the CI state)."""
+    from tpeps.config import CtmArgs as _CtmArgs
+    from tpeps.ctm.generic.dl_fermi import corrf_1sO1sO_h
+    from tpeps.ctm.generic_abelian.ctmrg_dl import run_fermionic
+    from tpeps.models.fermion.tv_model import (TVModel, phys_leg_u1,
+                                               random_1x1_state_U1)
+
+    st = random_1x1_state_U1({-1: 1, 0: 1, 1: 1}, key=1)
+    a = st.site((0, 0))
+    model = TVModel(t1=1.0)
+    cfg = _CtmArgs(ctm_max_iter=60, ctm_conv_tol=1e-10)
+
+    denv, _ = model.converge(a, 8, cfg)             # dense fixed point
+    aenv, _ = run_fermionic(st, 8, cfg)             # graded abelian one
+
+    Lp = phys_leg_u1()
+
+    def dense(o):
+        d = np.zeros((4, 4), dtype=complex)
+        off = {-1: 0, 0: 1, 1: 3}
+        dims = {-1: 1, 0: 2, 1: 1}
+        for (qz, qs), b in o.blocks.items():
+            d[off[qz]:off[qz] + dims[qz],
+              off[qs]:off[qs] + dims[qs]] = np.asarray(b)
+        return d
+
+    cB, cpA, nA, nB = _fused_ops(Lp, a.dtype)
+    for o1, o2 in ((cB, cpA), (nB, nA)):
+        v_ab = np.asarray(corrf_1sO1sO_fermionic((0, 0), (1, 0), st, aenv,
+                                                 o1, o2, 3))
+        v_dl = np.asarray(corrf_1sO1sO_h(a, denv, dense(o1), dense(o2), 3))
+        assert np.abs(v_ab - v_dl).max() < 1e-8, (v_ab, v_dl)
+
+
+def test_mixed_parity_pair_rejected():
+    """(odd, even) operator pairs are rejected instead of silently
+    returning garbage (ADVICE r4)."""
+    from tpeps.models.fermion.tv_model import phys_leg_u1
+
+    Lp = phys_leg_u1()
+    cB, cpA, nA, nB = _fused_ops(Lp, jnp.complex128)
+    with pytest.raises(ValueError):
+        corrf_1sO1sO_fermionic((0, 0), (1, 0), None, None, cB, nA, 2)
+
+
 def test_op_from_dense_roundtrip():
     """op_from_dense inverts the charge-sorted dense embedding: block
     content, charge-transfer sector n, and to_dense() all round-trip;

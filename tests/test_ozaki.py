@@ -86,3 +86,10 @@ def test_move_dot_impl_slices_parse():
     assert _rel_err(_dot(x, y, dn, "ozaki"), ref) < 1e-13
     # s=2 is visibly coarse — proves the knob is actually honored
     assert _rel_err(_dot(x, y, dn, "ozaki:2"), ref) > 1e-7
+    # strict parsing (ADVICE r4): typos and malformed suffixes raise
+    # with a clear message instead of silently taking a default path
+    import pytest
+
+    for bad in ("ozakii", "ozaki8", "ozaki:", "ozaki:x", "ozaki:0", "xl"):
+        with pytest.raises(ValueError):
+            _dot(x, y, dn, bad)

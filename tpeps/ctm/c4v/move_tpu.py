@@ -43,11 +43,23 @@ def _dot(x, y, dn, impl: str):
     ~ K * 2**(-7s); the default s=8 gives ~2^-56, s=7 ~2^-49 — still
     3+ digits below the 1e-8 energy-parity gate — at 28/36 the MXU
     passes)."""
-    if impl.startswith("ozaki") and x.dtype == jnp.float64 and y.dtype == jnp.float64:
-        from ...linalg.ozaki import ozaki_dot_general
+    if impl == "ozaki" or impl.startswith("ozaki:"):
+        s = 8
+        if ":" in impl:
+            suffix = impl.split(":", 1)[1]
+            if not suffix.isdigit() or int(suffix) < 1:
+                raise ValueError(
+                    f"dot_impl {impl!r}: expected 'ozaki' or 'ozaki:<positive int>'"
+                )
+            s = int(suffix)
+        if x.dtype == jnp.float64 and y.dtype == jnp.float64:
+            from ...linalg.ozaki import ozaki_dot_general
 
-        s = int(impl.split(":", 1)[1]) if ":" in impl else 8
-        return ozaki_dot_general(x, y, dn, slices=s)
+            return ozaki_dot_general(x, y, dn, slices=s)
+    elif impl != "xla":
+        raise ValueError(
+            f"unknown dot_impl {impl!r}: expected 'xla', 'ozaki' or 'ozaki:<int>'"
+        )
     return lax.dot_general(x, y, dn)
 
 

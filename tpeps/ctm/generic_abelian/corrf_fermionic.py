@@ -21,6 +21,17 @@ zero through that route (sweep receipt in tests/test_abelian_obs.py).
 Explicit dressing sidesteps the issue: all tensors stay bosonic and
 every fermionic sign is carried by the masks.
 
+**Environment precondition.**  The ``env`` passed to the correlators
+must be a fixed point of the SIGN-DRESSED double layer — converge it
+with :func:`tpeps.ctm.generic_abelian.ctmrg_dl.run_fermionic` (or hand
+in a densified dl_fermi environment).  An ``ENV_ABELIAN`` produced by
+the bosonic engine (:func:`tpeps.ctm.generic_abelian.ctmrg.run`, which
+contracts the sign-STRIPPED layer) is a fixed point of the wrong
+transfer operator: on the honeycomb CI state it gives ~7e-3-wrong
+values at distance even when chi saturates (PARITY.md round-4 root
+cause; regression test ``tests/test_abelian_fermionic_corrf.py::
+test_independent_graded_env_matches_dl``).
+
 Operators are charge-homogeneous rank-2 ``AbelianTensor``s ``op[z, s]``
 = <z|O|s> on the physical leg (signature ``(sp, -sp)``); parity-odd
 operators (c, c^dag) need NO explicit string leg — the pair/mid string
@@ -32,7 +43,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ...sym.tensor import AbelianTensor
+from ...sym.tensor import AbelianTensor, _qadd, _qscale
 from ..generic.dl_fermi import MID_STRING_H, PAIR_STRINGS, _LEG_IDX
 from .corrf import get_edge, _scalar, _shift
 
@@ -102,12 +113,15 @@ def double_tensor_ab(a, string=(), open_phys: bool = False):
     return out
 
 
-def op_from_dense(Lp, mat, dtype=None, tol=1e-14):
+def op_from_dense(Lp, mat, dtype=None, tol=1e-14, sym="U1"):
     """Charge-homogeneous ``op[z, s]`` AbelianTensor from a dense matrix
     in the charge-sorted dense basis of physical leg ``Lp`` (inverse of
     the dense embedding used by dl_fermi / TVModel operators).
 
-    Raises if ``mat`` mixes charge-transfer sectors (not homogeneous).
+    The charge-transfer sector is computed with the group arithmetic of
+    ``sym`` (signature (1, -1): ``dq = qz - qs`` group-wise, mod 2 for
+    Z2, component-wise for U1xU1).  Raises if ``mat`` mixes
+    charge-transfer sectors (not homogeneous).
     """
     mat = np.asarray(mat)
     if dtype is None:
@@ -123,14 +137,15 @@ def op_from_dense(Lp, mat, dtype=None, tol=1e-14):
             b = mat[oz:oz + dz, os_:os_ + ds]
             if np.abs(b).max() <= tol:
                 continue
-            dq = qz - qs if not isinstance(qz, tuple) else tuple(
-                x - y for x, y in zip(qz, qs))
+            dq = _qadd(sym, qz, _qscale(sym, -1, qs))
             if n_op is None:
                 n_op = dq
             elif n_op != dq:
                 raise ValueError("operator mixes charge-transfer sectors")
             blocks[(qz, qs)] = jnp.asarray(b, dtype=dtype)
-    out = AbelianTensor("U1", (1, -1), (Lp, Lp), n_op or 0, dtype=dtype)
+    if n_op is None:
+        n_op = (0, 0) if sym == "U1xU1" else 0
+    out = AbelianTensor(sym, (1, -1), (Lp, Lp), n_op, dtype=dtype)
     out.blocks.update(blocks)
     return out
 
@@ -177,6 +192,10 @@ def _split_by_out_parity(op):
 
 
 def _edge_max(E):
+    """max |entry| of an edge; 0.0 for an empty or all-zero edge (the
+    caller must skip rescaling in that case)."""
+    if not E.blocks:
+        return 0.0
     return float(np.max(np.abs(np.concatenate(
         [np.ravel(np.asarray(b)) for b in E.blocks.values()]))))
 
@@ -185,17 +204,30 @@ def corrf_1sO1sO_fermionic(coord, direction, state, env, op1, op2, dist: int):
     """``<O1(coord) O2(coord + r*direction)>`` for r = 1..dist, fermionic
     statistics included, on the block-sparse abelian environment
     (reference corrf_fermionic.py:29-227; sign structure = this
-    package's dl_fermi solution, so values match
-    :func:`tpeps.ctm.generic.dl_fermi.corrf_1sO1sO_h` exactly).
+    package's dl_fermi solution, so with a shared environment the values
+    match :func:`tpeps.ctm.generic.dl_fermi.corrf_1sO1sO_h` to machine
+    precision).
+
+    ``env`` MUST be converged on the sign-dressed double layer
+    (:func:`tpeps.ctm.generic_abelian.ctmrg_dl.run_fermionic`) — see the
+    module docstring; a bosonic-layer env silently yields wrong values
+    at distance.
 
     :param op1, op2: rank-2 AbelianTensors ``op[z, s]`` on the physical
-        leg, charge-homogeneous (parity-even or parity-odd).
+        leg, charge-homogeneous and of EQUAL parity (parity-even or
+        parity-odd pair; a mixed pair has no parity-conserving two-point
+        function and is rejected).
     :param direction: (1, 0) only (horizontal row; evaluate columns on
         the lattice-rotated state).
     :return: jnp array of length ``dist`` (values at r = 1..dist).
     """
     if direction != (1, 0):
         raise NotImplementedError("grow with (1,0) on the (rotated) state")
+    if _op_parity(op1) != _op_parity(op2):
+        raise ValueError(
+            "op1 and op2 carry different fermion parities; a mixed pair "
+            "has no well-defined dressed two-point function"
+        )
     op1 = _bosonic(op1)
     op2 = _bosonic(op2)
     odd = _op_parity(op1) == 1
@@ -247,10 +279,11 @@ def corrf_1sO1sO_fermionic(coord, direction, state, env, op1, op2, dist: int):
                 Lo = _apply_col(c, state, env, Lo, k["mid"])
             Ln = _apply_col(c, state, env, Ln, k["closed"])
             s = _edge_max(Ln)
-            Le = Le * (1.0 / s)
-            Ln = Ln * (1.0 / s)
-            if odd:
-                Lo = Lo * (1.0 / s)
+            if s > 0.0:
+                Le = Le * (1.0 / s)
+                Ln = Ln * (1.0 / s)
+                if odd:
+                    Lo = Lo * (1.0 / s)
         c = _shift(c, direction)
         if odd and r > 1:
             # block sign -(-1)^{(n_mid-1) p(z_1)}, n_mid = r - 1
