@@ -93,3 +93,47 @@ def test_move_dot_impl_slices_parse():
     for bad in ("ozakii", "ozaki8", "ozaki:", "ozaki:x", "ozaki:0", "xl"):
         with pytest.raises(ValueError):
             _dot(x, y, dn, bad)
+
+
+def test_ozaki_presplit_matches_matmul():
+    """ozaki_presplit + ozaki_matmul_presplit (the reuse path of the
+    factored-corner operator in move_tpu.ctm_move_sl_tpu) must agree
+    with the one-shot ozaki_matmul bit-for-bit: both run the identical
+    digit extraction and accumulation order."""
+    from tpeps.linalg.ozaki import ozaki_matmul_presplit, ozaki_presplit
+
+    rng = np.random.RandomState(3)
+    A = jnp.asarray(rng.randn(96, 131) * np.exp(rng.randn(96, 131)))
+    for s in (8, 7):
+        Ac, ea = ozaki_presplit(A, s)
+        ref = None
+        for _ in range(3):  # several right operands reuse one split
+            B = jnp.asarray(rng.randn(131, 40))
+            got = ozaki_matmul_presplit(Ac, ea, B, s)
+            full = ozaki_matmul(A, B, s, 7)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(full))
+            assert _rel_err(got, A @ B) < (1e-12 if s == 8 else 1e-10)
+
+
+def test_ozaki_move_matches_xla_f64():
+    """One TPU-layout C4v move with dot_impl="ozaki" (which routes the
+    subspace iteration through the pre-split corner operator) must land
+    on the same projected spectrum and environment as dot_impl="xla"
+    to the Ozaki accuracy contract."""
+    from tpeps.ctm.c4v.env import init_env
+    from tpeps.ctm.c4v.move_tpu import ctm_move_sl_tpu, to_tpu_layout
+    from tpeps.ipeps.ipeps_c4v import symmetrize_c4v
+    from tpeps.linalg.power import cold_start_basis
+
+    rng = np.random.RandomState(5)
+    D, chi = 3, 27
+    a = symmetrize_c4v(jnp.asarray(rng.rand(2, D, D, D, D) - 0.5),
+                       normalize=True)
+    env = init_env(a, chi, "CTMRG")
+    T_int = to_tpu_layout(env.T, D)
+    P0 = cold_start_basis(chi * D * D, chi, env.C.dtype)
+    C_x, T_x, spec_x, _ = ctm_move_sl_tpu(a, env.C, T_int, P0, dot_impl="xla")
+    C_o, T_o, spec_o, _ = ctm_move_sl_tpu(a, env.C, T_int, P0, dot_impl="ozaki")
+    assert float(jnp.abs(spec_x - spec_o).max()) < 1e-11
+    assert float(jnp.abs(C_x - C_o).max()) < 1e-10
+    assert float(jnp.abs(T_x - T_o).max()) < 1e-10

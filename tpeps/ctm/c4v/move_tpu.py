@@ -33,6 +33,26 @@ from ...linalg.power import cholesky_qr2, cold_start_basis, procrustes_align
 from .env import EnvC4v
 
 
+def _ozaki_slices(impl: str):
+    """Parse ``"ozaki"`` / ``"ozaki:<s>"`` -> slice count, or None for
+    ``"xla"``.  Strict: anything else raises."""
+    if impl == "ozaki" or impl.startswith("ozaki:"):
+        s = 8
+        if ":" in impl:
+            suffix = impl.split(":", 1)[1]
+            if not suffix.isdigit() or int(suffix) < 1:
+                raise ValueError(
+                    f"dot_impl {impl!r}: expected 'ozaki' or 'ozaki:<positive int>'"
+                )
+            s = int(suffix)
+        return s
+    if impl != "xla":
+        raise ValueError(
+            f"unknown dot_impl {impl!r}: expected 'xla', 'ozaki' or 'ozaki:<int>'"
+        )
+    return None
+
+
 def _dot(x, y, dn, impl: str):
     """dot_general dispatcher: ``impl="ozaki"`` routes real-f64
     contractions through the exact int8-MXU Ozaki path
@@ -43,23 +63,12 @@ def _dot(x, y, dn, impl: str):
     ~ K * 2**(-7s); the default s=8 gives ~2^-56, s=7 ~2^-49 — still
     3+ digits below the 1e-8 energy-parity gate — at 28/36 the MXU
     passes)."""
-    if impl == "ozaki" or impl.startswith("ozaki:"):
-        s = 8
-        if ":" in impl:
-            suffix = impl.split(":", 1)[1]
-            if not suffix.isdigit() or int(suffix) < 1:
-                raise ValueError(
-                    f"dot_impl {impl!r}: expected 'ozaki' or 'ozaki:<positive int>'"
-                )
-            s = int(suffix)
+    s = _ozaki_slices(impl)
+    if s is not None:
         if x.dtype == jnp.float64 and y.dtype == jnp.float64:
             from ...linalg.ozaki import ozaki_dot_general
 
             return ozaki_dot_general(x, y, dn, slices=s)
-    elif impl != "xla":
-        raise ValueError(
-            f"unknown dot_impl {impl!r}: expected 'xla', 'ozaki' or 'ozaki:<int>'"
-        )
     return lax.dot_general(x, y, dn)
 
 
@@ -193,7 +202,26 @@ def ctm_move_sl_tpu(
     M6 = _c2x2_factored(a, C, T_int, slice_phys=slice_phys, dot_impl=dot_impl)
     # hermitian-symmetrize via the operator: (M + M^H)/2 applied lazily —
     # M is hermitian up to roundoff for C4v states; symmetrize H instead
-    m_apply = partial(_m_apply, M6, chi=chi, D=D, dot_impl=dot_impl)
+    oz_s = _ozaki_slices(dot_impl)
+    if oz_s is not None and M6.dtype == jnp.float64:
+        # the subspace iteration applies the SAME corner operator
+        # n_power+2 times per move; split its mantissa chunks once
+        # (re-splitting the (chi D^2)^2 operand per application is pure
+        # emulated-f64 overhead).  Forward-only, like the whole ozaki
+        # polish phase — gradients use the implicit fixed-point adjoint.
+        from ...linalg.ozaki import ozaki_matmul_presplit, ozaki_presplit
+
+        d0, d1, d2, d3, d4, d5 = M6.shape
+        M2 = M6.transpose(0, 2, 4, 5, 3, 1).reshape(d0 * d2 * d4,
+                                                    d5 * d3 * d1)
+        M2c, ea = ozaki_presplit(M2, oz_s)
+
+        def m_apply(P2d):
+            Y = ozaki_matmul_presplit(M2c, ea, P2d, oz_s)
+            return (Y.reshape(d0, d2, d4, -1).transpose(2, 1, 0, 3)
+                    .reshape(chi * D * D, -1))
+    else:
+        m_apply = partial(_m_apply, M6, chi=chi, D=D, dot_impl=dot_impl)
     Dspec, P = _subspace_eigh_op(
         m_apply, P_ref, chi, n_power, eps_multiplet, ad_decomp_reg
     )
