@@ -45,7 +45,7 @@ def test_power_tpu_path_energy_parity_with_symeig():
 
     # POWER/TPU-layout path: warm-started subspace iteration, factored
     # corner, host-driven loop (the benchmark code path)
-    env_pw, n_pw, dist_pw = run_ctmrg_tpu(
+    env_pw, n_pw, dist_pw, _ = run_ctmrg_tpu(
         a, env0, max_iter=200, conv_tol=1e-10, slice_phys=(D >= 7)
     )
     assert dist_pw < 1e-6
@@ -84,7 +84,7 @@ def test_mixed_precision_parity():
     env0 = init_env(a, chi, "CTMRG")
     model = AKLTS2_C4V_BIPARTITE()
 
-    env64, n64, d64 = run_ctmrg_tpu(a, env0, max_iter=200, conv_tol=1e-10)
+    env64, n64, d64, _ = run_ctmrg_tpu(a, env0, max_iter=200, conv_tol=1e-10)
     envmx, nmx, dmx = run_ctmrg_tpu_mixed(a, env0, max_iter=200, conv_tol=1e-10,
                                           switch_tol=1e-5)
     assert d64 < 1e-10 and dmx < 1e-10, (d64, dmx)
@@ -111,9 +111,9 @@ def test_batched_moves_equivalent():
     env0 = init_env(a, chi, "CTMRG")
     model = J1J2_C4V_BIPARTITE(j1=1.0, j2=0.0)
 
-    env1, n1, d1 = run_ctmrg_tpu(a, env0, max_iter=80, conv_tol=1e-10,
+    env1, n1, d1, _ = run_ctmrg_tpu(a, env0, max_iter=80, conv_tol=1e-10,
                                  moves_per_sync=1)
-    env4, n4, d4 = run_ctmrg_tpu(a, env0, max_iter=80, conv_tol=1e-10,
+    env4, n4, d4, _ = run_ctmrg_tpu(a, env0, max_iter=80, conv_tol=1e-10,
                                  moves_per_sync=4)
     e1 = float(model.energy_1x1_lowmem(a, env1))
     e4 = float(model.energy_1x1_lowmem(a, env4))

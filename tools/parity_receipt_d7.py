@@ -68,7 +68,7 @@ def tpu_case(a, chi, runner, **kw):
 
     env0 = init_env(a, chi, "CTMRG")
     t0 = time.perf_counter()
-    env, n, dist = runner(a, env0, max_iter=200, conv_tol=1e-10, **kw)
+    env, n, dist = runner(a, env0, max_iter=200, conv_tol=1e-10, **kw)[:3]
     jax.block_until_ready(env.C)
     return env, {"n": int(n), "dist": float(dist),
                  "wall_s": round(time.perf_counter() - t0, 2)}

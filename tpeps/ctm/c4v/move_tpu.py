@@ -346,6 +346,7 @@ def run_ctmrg_tpu(
     moves_per_sync: int = 1,
     matmul_precision=None,
     stall_window: int = 0,
+    P0=None,
     **move_kwargs,
 ):
     """Host-driven CTMRG loop over the jitted TPU-layout move.
@@ -366,7 +367,13 @@ def run_ctmrg_tpu(
     :param stall_window: if > 0, stop early when the corner-spectra
         distance has not improved for this many consecutive checks
         (phase hand-off in the mixed driver)
-    :return: ``(env, n_iter, dist)``
+    :param P0: optional warm-start subspace basis ``(chi D^2, chi)``
+        (e.g. the previous phase's projector in the mixed driver —
+        restarting the basis cold costs the first few moves of each
+        phase extra subspace-iteration error, which is expensive
+        exactly where moves are f64)
+    :return: ``(env, n_iter, dist, P)`` — ``P`` is the final projector
+        basis, reusable as the next call's ``P0``
     """
     import contextlib
 
@@ -380,7 +387,10 @@ def run_ctmrg_tpu(
     D = a.shape[1]
     chi = env.C.shape[0]
     T_int = to_tpu_layout(env.T, D)
-    P = cold_start_basis(chi * D * D, chi, env.C.dtype)
+    if P0 is not None:
+        P = jnp.asarray(P0, dtype=env.C.dtype)
+    else:
+        P = cold_start_basis(chi * D * D, chi, env.C.dtype)
     C = env.C
     spec_prev = None
     dist = float("inf")
@@ -437,7 +447,7 @@ def run_ctmrg_tpu(
                     if no_improve >= stall_window:
                         break
         spec_prev = spec_h
-    return EnvC4v(C, from_tpu_layout(T_int)), it, dist
+    return EnvC4v(C, from_tpu_layout(T_int)), it, dist, P
 
 
 def run_ctmrg_tpu_mixed(
@@ -478,20 +488,21 @@ def run_ctmrg_tpu_mixed(
     # the f32 phase uses a quarter of the f64 memory (f64 buffers cost
     # 2x and XLA's f64 emulation doubles working set again), so it can
     # usually skip physical-index slicing even where f64 cannot
-    env32, it32, dist32 = run_ctmrg_tpu(
+    env32, it32, dist32, P32 = run_ctmrg_tpu(
         a32, env32, max_iter=max_iter, conv_tol=max(switch_tol, conv_tol),
         n_power=n_power, slice_phys=slice_phys32, timers=timers,
         moves_per_sync=moves_per_sync, stall_window=4, **move_kwargs
     )
     # middle phase: true-f32 matmuls (multi-pass MXU; ~5x the bf16-
     # precision move, ~1/20 the f64-emulated move) pushes the spectra
-    # several digits further before any f64 move runs
-    env32b, it32b, dist32b = run_ctmrg_tpu(
+    # several digits further before any f64 move runs.  Each later phase
+    # warm-starts the subspace basis from the previous phase's projector.
+    env32b, it32b, dist32b, P32 = run_ctmrg_tpu(
         a32, env32, max_iter=max_iter,
         conv_tol=max(conv_tol, 3.0e-7),
         n_power=n_power, slice_phys=slice_phys32, timers=timers,
         moves_per_sync=moves_per_sync, matmul_precision="highest",
-        stall_window=3, **move_kwargs
+        stall_window=3, P0=P32, **move_kwargs
     )
     it32 += it32b
     env32 = env32b
@@ -500,10 +511,11 @@ def run_ctmrg_tpu_mixed(
     # Ozaki path by default (~f64 accuracy at a fraction of XLA's
     # software-f64 cost; tpeps/linalg/ozaki.py).  Pass
     # f64_dot_impl="xla" to fall back to emulated-f64 dots.
-    env_out, it64, dist = run_ctmrg_tpu(
+    env_out, it64, dist, _P = run_ctmrg_tpu(
         a, env64, max_iter=max_iter, conv_tol=conv_tol,
         n_power=n_power, slice_phys=slice_phys, timers=timers,
-        moves_per_sync=moves_per_sync, dot_impl=f64_dot_impl, **move_kwargs
+        moves_per_sync=moves_per_sync, dot_impl=f64_dot_impl, P0=P32,
+        **move_kwargs
     )
     return env_out, it32 + it64, dist
 
