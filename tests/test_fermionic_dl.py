@@ -559,3 +559,53 @@ def test_multicell_random_factories_smoke():
     assert len(st.sites) == 9
     st = tv.random_1x6_state_U1({-1: 1, 0: 1, 1: 1}, key=1)
     assert (st.lX, st.lY) == (6, 1)
+
+
+def test_ipess_state_factory():
+    """The honeycomb-iPESS factory (reference tv_model.py:946-1006):
+    a deterministic |10> product-state pair anchors the graded
+    contraction + fusion + basis reorder exactly; a random state lands
+    in the standard Z2 physical-leg convention and converges through
+    the dl engine."""
+    from tpeps.config import CtmArgs
+    from tpeps.ctm.generic.dl import init_env_dl, rdm1x1_dl, run_dl
+    from tpeps.ctm.generic.dl_fermi import double_tensor_open
+    from tpeps.models.fermion import tv_model as tv
+    from tpeps.sym.tensor import AbelianTensor, leg
+
+    import jax.numpy as jnp
+
+    # --- deterministic anchor: A holds n_a=1, B holds n_b=0 on trivial
+    # aux legs -> the site must be the |10> product state, i.e. one
+    # block in the odd sector with the amplitude at standard position 1
+    # (odd-sector order [|01>, |10>])
+    aux = leg({0: 1, 1: 1})
+    p2 = leg({0: 1, 1: 1})
+    A = AbelianTensor.zeros("Z2", (-1, 1, -1, 1, 1),
+                            (aux, aux, aux, p2, leg({1: 1}, pshift=1)),
+                            n=0, fermionic=True)
+    A.blocks[(0, 0, 0, 1, 1)] = jnp.ones((1, 1, 1, 1, 1))
+    A = A.fuse_pair(3)
+    B = AbelianTensor.zeros("Z2", (1, -1, 1, 1), (aux, aux, aux, p2),
+                            n=0, fermionic=True)
+    B.blocks[(0, 0, 0, 0)] = jnp.ones((1, 1, 1, 1))
+    a10 = tv.ipess_site(A, B)
+    assert a10.signature == (1, 1, 1, -1, -1)
+    assert a10.legs[0].pshift == 1
+    nz = {q: b for q, b in a10.blocks.items() if float(jnp.abs(b).max()) > 0}
+    assert set(nz) == {(0, 0, 0, 0, 0)}, set(nz)
+    blk = np.asarray(nz[(0, 0, 0, 0, 0)]).reshape(2)
+    assert abs(blk[0]) < 1e-14 and abs(abs(blk[1]) - 1.0) < 1e-14, blk
+
+    # --- random state: standard phys-leg convention + dl convergence
+    st = tv.random_ipess_state({0: 2, 1: 2}, key=7)
+    a = st.site((0, 0))
+    ref_leg = tv.random_1x1_state_Z2({0: 1, 1: 1}, key=0).site((0, 0)).legs[0]
+    assert a.legs[0].dims == ref_leg.dims and a.legs[0].pshift == ref_leg.pshift
+    assert a.n == 0 and abs(float(a.norm()) - 1.0) < 1e-12
+    assert all(l.dims == {0: 2, 1: 2} for l in a.legs[1:])
+    cfg = CtmArgs(ctm_max_iter=40, ctm_conv_tol=1e-9)
+    E = tv.double_tensor(a)
+    env, _ = run_dl(E, init_env_dl(E, 8), cfg)
+    rho = rdm1x1_dl(double_tensor_open(a), env)
+    assert float(jnp.abs(jnp.trace(rho))) > 0

@@ -442,8 +442,8 @@ def measure_nn_cell(state, env, op0, op1, coord=(0, 0), geometry="h",
 # Counterparts of the reference's random-state zoo
 # (tv_model.py:488-1131): 1x1 factories plus the multi-cell pattern
 # families over the coordinate-general dl engine
-# (tpeps/ctm/generic/dl_cell.py).  Not mirrored: ``random_ipess_state``
-# (:946, a kagome iPESS geometry outside the square-lattice dl engine).
+# (tpeps/ctm/generic/dl_cell.py), and the honeycomb-iPESS factory
+# (``random_ipess_state``/``ipess_site``, ref :946-1006).
 
 
 def phys_leg_u1():
@@ -647,3 +647,83 @@ def random_3x3_9_state_U1(bond_dims, key=0):
     """Reference tv_model.py:1081 (nine distinct tensors, three charged)."""
     return random_cell_state([[0, 1, 2], [3, 4, 5], [6, 7, 8]],
                              bond_dims, key=key, charges={0: 1, 4: 1, 8: -2})
+
+
+def ipess_site(A, B):
+    """Square-lattice site tensor from the honeycomb-iPESS pair
+    ``A[x, l, b, p]`` / ``B[x, r, t, s]`` (reference tv_model.py:946-1006
+    ``random_ipess_state`` inner ``get_tensors``: graded einsum
+    ``'xlbp,xrts->tlbrps'`` + hard fusion of the two physical legs).
+
+    Output legs/signature follow the tpeps site convention
+    ``a[phys, u, l, d, r]`` = ``(+1, +1, +1, -1, -1)``; the fused
+    physical leg lands in the standard Z2 convention of
+    :func:`random_1x1_state_Z2` — shifted sector labels
+    ``q = (n_A + n_B + 1) mod 2`` with ``pshift=1`` (so the grading is
+    the TRUE pair parity) and intra-sector basis order
+    ``[|00>, |11>]`` (even) / ``[|01>, |10>]`` (odd) — so the whole
+    measurement surface (:func:`measure_1site` / :func:`measure_nn`)
+    works on iPESS-built states unchanged.
+    """
+    site = A.tensordot(B, axes=((0,), (0,)))       # (l, b, p, r, t, s)
+    site = site.transpose((4, 0, 1, 3, 2, 5))      # (t, l, b, r, p, s)
+    site = site.fuse_pair(4)                       # (t, l, b, r, P)
+    # fuse_pair orders each fused sector by sorted (q_p, q_s):
+    #   q=0 (odd):  [(0,0)=|10>, (1,1)=|01>]   -> standard [|01>, |10>]
+    #   q=1 (even): [(0,1)=|11>, (1,0)=|00>]   -> standard [|00>, |11>]
+    # i.e. a flip of the 2-dim physical axis in every sector.  The flip
+    # is a plain (even, charge-diagonal) basis relabeling — no grading
+    # signs involved.
+    site = site.copy_with(
+        {q: b[..., ::-1] for q, b in site.blocks.items()})
+    return site.transpose((4, 0, 1, 2, 3))         # (P, t, l, b, r)
+
+
+def random_ipess_state(bond_dims, key=0):
+    """Random Z2 honeycomb-iPESS state, coarse-grained to a 1x1
+    square-lattice cell (reference tv_model.py:946-1006
+    ``random_ipess_state``).
+
+    The on-site tensor is the contraction of two rank-4 elementary
+    tensors over the internal honeycomb bond ``x``::
+
+          0       2   1       t(0)  r(3)
+          |        \\ /         \\   /
+          A--3  x   B--3   =>    B--
+         / \\        |            |   -> fused physical (A, B)
+        1   2       0            A--
+                               /   \\
+                             l(1)  b(2)
+
+    ``A`` carries the reference's charge-1 dummy shift
+    (``dummy_leg_charge=1``): here the dummy is a ``pshift=1`` sector-1
+    leg — the shifted LABEL with inert grading, the same convention as
+    :func:`phys_leg_u1` — fused into ``A``'s physical leg before the
+    pair contraction.  (yastn grades the dummy by its raw charge
+    instead; tpeps keeps the grading physical and shifts only the
+    label, which is what the repo's committed-state conventions and
+    sign machinery assume.)
+
+    :param bond_dims: dict Z2 charge -> dimension for every aux leg,
+        e.g. ``{0: 2, 1: 2}``
+    :return: normalized 1x1 ``IPEPS_ABELIAN`` ("Z2", graded)
+    """
+    import jax as _jax
+
+    from ...ipeps.ipeps_abelian import IPEPS_ABELIAN
+    from ...sym.tensor import AbelianTensor, leg
+
+    assert sorted(bond_dims) == [0, 1], bond_dims
+    aux = leg(dict(bond_dims))
+    p2 = leg({0: 1, 1: 1})
+    k1, k2 = _jax.random.split(_jax.random.PRNGKey(key))
+    # A[x, l, b, p, dummy] with the label-shifting dummy, then fuse (p, dummy)
+    A = AbelianTensor.random(
+        k1, "Z2", (-1, 1, -1, 1, 1),
+        (aux, aux, aux, p2, leg({1: 1}, pshift=1)), n=0, fermionic=True)
+    A = A.fuse_pair(3)                             # (x, l, b, p')
+    B = AbelianTensor.random(
+        k2, "Z2", (1, -1, 1, 1), (aux, aux, aux, p2), n=0, fermionic=True)
+    a = ipess_site(A, B)
+    a = a * (1.0 / float(a.norm()))
+    return IPEPS_ABELIAN("Z2", {(0, 0): a}, lX=1, lY=1)
