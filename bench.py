@@ -49,10 +49,21 @@ def accelerator_alive(timeout: int = 300, retries: int = 2) -> bool:
     return False
 
 
-def move_flops(D, chi, slice_phys):
+def move_flops(D, chi, slice_phys, mode="f64", n_moves=1):
     """XLA's own FLOP estimate for one jitted CTMRG move (receipts for
-    the achieved-TFLOP/s number; counts the compiled HLO, not a model)."""
-    import jax
+    the achieved-TFLOP/s number; counts the compiled HLO, not a model).
+
+    Lowers only programs the bench case actually compiled (or the
+    long-cached f64 single-move program), so this costs seconds from
+    the persistent compile cache — lowering a program the run never
+    built can burn minutes of fresh TPU compile or OOM outright
+    (round-4/5 receipt: the f32 case spent its wall-clock failing to
+    compile an f64 no-slice D=7 program for this counter).
+
+    For "mixed"/"f64" the count is the emulated-f64 single-move HLO
+    (the series reported since BENCH_r02 — i.e. flops of the f64 work
+    the device is replacing); for "f32" it is the logical f32 move.
+    """
     import jax.numpy as jnp
 
     from tpeps.ctm.c4v.env import init_env
@@ -61,53 +72,94 @@ def move_flops(D, chi, slice_phys):
 
     rng = np.random.RandomState(0)
     a = symmetrize_c4v(jnp.asarray(rng.rand(2, D, D, D, D) - 0.5), normalize=True)
+    if mode == "f32":
+        a = a.astype(jnp.float32)
+    else:
+        n_moves = 1  # the cached f64 reference program is single-move
     env0 = init_env(a, chi, "CTMRG")
     T_int = to_tpu_layout(env0.T, D)
     P0 = jnp.zeros((chi * D * D, chi), dtype=a.dtype)
     try:
-        lowered = _jit_move.lower(a, env0.C, T_int, P0, slice_phys=slice_phys)
+        lowered = _jit_move.lower(a, env0.C, T_int, P0, slice_phys=slice_phys,
+                                  n_moves=n_moves)
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        return float(cost.get("flops", 0.0))
+        return float(cost.get("flops", 0.0)) / n_moves
     except Exception:
         return 0.0
 
 
-def bench_case_watchdog(D, chi, mode, timeout=1800, retries=1):
-    """Run one :func:`bench_case` in a subprocess with a hard timeout.
+TPU_GROUP_CODE = r"""
+import json, sys, time
+sys.path.insert(0, sys.argv[1])
+deadline = time.monotonic() + float(sys.argv[2])
+import bench
+for D, chi, mode in json.loads(sys.argv[3]):
+    rem = deadline - time.monotonic()
+    if rem < 120:
+        print("##deadline: skipping D=%d %s (%.0fs left)" % (D, mode, rem),
+              flush=True)
+        continue
+    t0 = time.monotonic()
+    try:
+        ms, n, f = bench.bench_case(D, chi, mode=mode)
+    except Exception as e:
+        print("##D=%d %s failed: %s: %s" % (D, mode, type(e).__name__, e),
+              flush=True)
+        continue
+    print("##case D=%d %s: %.0fs total" % (D, mode, time.monotonic() - t0),
+          flush=True)
+    print("@@" + json.dumps([D, chi, mode, ms, int(n), f]), flush=True)
+"""
 
-    The axon TPU runtime can transiently hang a dispatch forever
-    (observed 2026-08-18: a D=7 f64 program never returned while small
-    probes succeeded); an in-process hang would leave the whole bench
-    with no output.  A timed-out case is retried (the hang is a runtime
-    hiccup, not a property of the program)."""
+
+def run_tpu_cases(cases, deadline_s, emit_case):
+    """Run all accelerator cases in ONE subprocess, streaming results.
+
+    One subprocess instead of one per case: TPU-runtime init through
+    the axon tunnel costs minutes each, and consecutive cases share
+    jitted programs in-process (the f32 case's program IS the mixed
+    case's phase-1 program — round-5 receipt: per-case subprocesses
+    spent 390+ s on a case whose compute is ~3 s).  The child enforces
+    the deadline between cases; the parent backstops a hung dispatch by
+    killing the child, keeping every record streamed so far (the
+    round-3 zero-output lesson).
+
+    :param emit_case: callback ``(D, chi, mode, ms, n_moves, flops)``
+        invoked from a reader thread as each case lands
+    """
     import os
-    import json as _json
+    import threading
 
-    code = (
-        "import json, sys; sys.path.insert(0, sys.argv[1]); import bench; "
-        "ms, n, f = bench.bench_case(int(sys.argv[2]), int(sys.argv[3]), "
-        "mode=sys.argv[4]); print('@@' + json.dumps([ms, int(n), f]))"
-    )
     here = os.path.dirname(os.path.abspath(__file__))
-    err = "no attempt"
-    for _ in range(retries):
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", code, here, str(D), str(chi), mode],
-                timeout=timeout, capture_output=True, text=True,
-            )
-        except subprocess.TimeoutExpired:
-            err = f"timed out after {timeout}s (hung dispatch?)"
-            continue
-        if r.returncode == 0:
-            for line in r.stdout.splitlines():
-                if line.startswith("@@"):
-                    ms, n, f = _json.loads(line[2:])
-                    return ms, n, f
-        err = (r.stderr or r.stdout)[-400:]
-    raise RuntimeError(err)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", TPU_GROUP_CODE, here, str(deadline_s),
+         json.dumps(cases)],
+        stdout=subprocess.PIPE, text=True,
+    )
+    done = threading.Event()
+
+    def reader():
+        for line in proc.stdout:
+            line = line.strip()
+            if line.startswith("@@"):
+                try:
+                    emit_case(*json.loads(line[2:]))
+                except Exception as e:
+                    print(f"# emit failed: {e}", file=sys.stderr, flush=True)
+            elif line.startswith("##"):
+                print(f"# {line[2:]}", file=sys.stderr, flush=True)
+        done.set()
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    if not done.wait(timeout=deadline_s + 60):
+        print("# tpu case group hit the deadline backstop; killing",
+              file=sys.stderr, flush=True)
+        proc.kill()
+        done.wait(10)
+    proc.wait()
 
 
 def bench_case(D, chi, max_iter=48, mode="f64", moves_per_sync=4):
@@ -147,7 +199,8 @@ def bench_case(D, chi, max_iter=48, mode="f64", moves_per_sync=4):
     wall = time.perf_counter() - t0  # through the axon tunnel)
     ms_per_move = 1000.0 * wall / max(n2, 1)
     assert np.isfinite(np.asarray(env2.C)).all()
-    flops = move_flops(D, chi, slice_phys=slice_phys)
+    flops = move_flops(D, chi, slice_phys=slice_phys, mode=mode,
+                       n_moves=moves_per_sync)
     return ms_per_move, n2, flops
 
 
@@ -197,6 +250,44 @@ jax.block_until_ready(jax.tree_util.tree_leaves(Cf))
 ms = 1000.0 * (time.perf_counter() - t0) / int(n)
 print(json.dumps({"host_ms": round(host_ms, 3), "frozen_ms": round(ms, 3)}))
 """
+
+
+def start_abelian_cpu():
+    """Launch the abelian CPU case as a background subprocess.
+
+    The case is CPU-only (host numpy engine + CPU-XLA frozen program),
+    so when the dense cases run on the TPU the two can overlap — the
+    abelian case then gets the whole bench deadline instead of the
+    leftovers (rounds 3-5 receipts: run sequentially it was
+    deadline-starved every time).  The box has ONE CPU core, so the
+    subprocess runs at nice 19: the dense cases' host dispatch loops
+    are tiny but latency-critical (un-niced, the abelian host moves
+    took 98% of the core and the TPU sat idle — measured round 5),
+    while the abelian case is throughput-bound and soaks up whatever
+    is left."""
+    import os
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.Popen([sys.executable, "-c", ABELIAN_BENCH_CODE],
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True, env=env,
+                            preexec_fn=lambda: os.nice(19))
+
+
+def collect_abelian(proc, timeout):
+    """Wait for :func:`start_abelian_cpu` and parse its JSON line."""
+    try:
+        out, errs = proc.communicate(timeout=max(1, timeout))
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.communicate()
+        raise RuntimeError(f"abelian case timed out after {timeout:.0f}s")
+    if proc.returncode != 0:
+        raise RuntimeError((errs or out)[-500:])
+    rec = json.loads(out.strip().splitlines()[-1])
+    rec["device"] = "cpu"
+    return rec
 
 
 def bench_abelian(timeout: int = 1500):
@@ -285,35 +376,9 @@ def main():
     # skipped).  The headline record is re-emitted as the LAST stdout
     # line so a driver that parses the final line picks it up.
     headline_rec = None
-    cases = (
-        ((7, 147, "mixed"), (7, 147, "f32"), (6, 108, "f64"))
-        if on_accel else ((5, 75, "f64"), (4, 48, "f64"))
-    )
-    # D=7 pure-XLA-f64 is informative but expendable (the mixed case IS
-    # the f64-accurate number); it runs dead last, after the abelian
-    # case, with whatever budget remains (round-4 receipt: it hit its
-    # 506 s watchdog and starved the abelian case when ordered earlier).
-    tail_cases = ((7, 147, "f64"),) if on_accel else ()
-    for D, chi, mode in cases:
-        budget = remaining() - 30
-        if budget < 120:
-            print(f"# deadline: skipping D={D} {mode}", file=sys.stderr, flush=True)
-            continue
-        t_case = time.monotonic()
-        try:
-            if on_accel:
-                # hang-proof: each accelerator case in a watchdogged
-                # subprocess (see bench_case_watchdog)
-                ms, n_moves, flops = bench_case_watchdog(
-                    D, chi, mode, timeout=int(min(900, budget)))
-            else:
-                ms, n_moves, flops = bench_case(D, chi, mode=mode)
-        except Exception as e:
-            print(f"# D={D} {mode} failed: {type(e).__name__}: {e}",
-                  file=sys.stderr, flush=True)
-            continue
-        print(f"# case D={D} {mode}: {time.monotonic() - t_case:.0f}s total",
-              file=sys.stderr, flush=True)
+    state = {"n_emitted": 0, "headline": None, "proc_ab": None}
+
+    def emit_case(D, chi, mode, ms, n_moves, flops):
         rec = {
             "metric": f"ctmrg_move_c4v_D{D}_chi{chi}_{mode}"
             + ("" if on_accel else "_cpufallback"),
@@ -325,15 +390,57 @@ def main():
             rec["flops_per_move"] = flops
             rec["achieved_tflops"] = round(flops / (ms / 1000.0) / 1e12, 4)
         emit(rec)
-        n_emitted += 1
+        state["n_emitted"] += 1
         if (D, mode) == (7, "mixed"):
-            headline_rec = rec
+            state["headline"] = rec
+        if on_accel and state["proc_ab"] is None:
+            # first TPU case landed (normally the headline): launch the
+            # niced background abelian case — CPU-only, so it overlaps
+            # the remaining TPU cases without perturbing the headline
+            state["proc_ab"] = start_abelian_cpu()
 
-    # abelian case LAST (its one-time frozen-program compile can eat
-    # minutes; never let it starve the dense numbers)
+    if on_accel:
+        # ALL accelerator cases in one streaming subprocess (shared TPU
+        # init + in-process jit cache; see run_tpu_cases).  D=7 pure-
+        # XLA-f64 is expendable (the mixed case IS the f64-accurate
+        # number): it runs last and the child skips it near deadline.
+        run_tpu_cases(
+            [[7, 147, "mixed"], [7, 147, "f32"], [6, 108, "mixed"],
+             [7, 147, "f64"]],
+            deadline_s=max(60, remaining() - 120), emit_case=emit_case)
+    else:
+        for D, chi, mode in ((5, 75, "f64"), (4, 48, "f64")):
+            if remaining() - 30 < 120:
+                print(f"# deadline: skipping D={D} {mode}", file=sys.stderr,
+                      flush=True)
+                continue
+            try:
+                ms, n_moves, flops = bench_case(D, chi, mode=mode)
+            except Exception as e:
+                print(f"# D={D} {mode} failed: {type(e).__name__}: {e}",
+                      file=sys.stderr, flush=True)
+                continue
+            emit_case(D, chi, mode, ms, n_moves, flops)
+
+    n_emitted = state["n_emitted"]
+    headline_rec = state["headline"]
+    proc_ab = state["proc_ab"]
+
+    # collect the abelian case (overlapped with the TPU cases when on
+    # the accelerator; run inline on the CPU fallback).  Minimum 180 s
+    # grace even at the deadline: the subprocess has been running for
+    # most of the bench and killing it seconds before it lands wastes
+    # the whole investment (round-5 receipt: killed at "0s" when the
+    # dense cases overran).
     try:
-        if remaining() > 240:
+        if proc_ab is not None:
+            ab = collect_abelian(proc_ab, timeout=max(180, remaining() - 30))
+        elif remaining() > 240:
             ab = bench_abelian(timeout=min(420, int(remaining() - 60)))
+        else:
+            ab = None
+            print("# deadline: skipping abelian case", file=sys.stderr, flush=True)
+        if ab is not None:
             emit({
                 "metric": "ctmrg_move_c4v_abelian_D8_chi160_frozen",
                 "value": ab["frozen_ms"],
@@ -345,34 +452,9 @@ def main():
                 "host_engine_ms": ab["host_ms"],
             })
             n_emitted += 1
-        else:
-            print("# deadline: skipping abelian case", file=sys.stderr, flush=True)
     except Exception as e:
         print(f"# abelian bench failed: {type(e).__name__}: {e}",
               file=sys.stderr, flush=True)
-
-    for D, chi, mode in tail_cases:
-        budget = remaining() - 30
-        if budget < 180:
-            print(f"# deadline: skipping D={D} {mode}", file=sys.stderr, flush=True)
-            continue
-        try:
-            ms, n_moves, flops = bench_case_watchdog(
-                D, chi, mode, timeout=int(min(900, budget)))
-        except Exception as e:
-            print(f"# D={D} {mode} failed: {type(e).__name__}: {e}",
-                  file=sys.stderr, flush=True)
-            continue
-        rec = {
-            "metric": f"ctmrg_move_c4v_D{D}_chi{chi}_{mode}",
-            "value": round(ms, 3), "unit": "ms/move",
-            "vs_baseline": round(REF_CPU_MS[D] / ms, 1),
-        }
-        if flops > 0:
-            rec["flops_per_move"] = flops
-            rec["achieved_tflops"] = round(flops / (ms / 1000.0) / 1e12, 4)
-        emit(rec)
-        n_emitted += 1
 
     if headline_rec is not None:
         # final line = headline for last-line parsers; the tag marks it

@@ -1,4 +1,4 @@
-"""Produce the committed D=7 chi=147 parity receipt (PARITY_D7_r03.json).
+"""Produce the committed D=7 chi=147 parity receipt (PARITY_D7.json).
 
 VERDICT r2 weak-point 9: ``tests/test_power_parity.py`` defaults to D=4
 and nothing showed the D=7 case (the BASELINE.md metric) ever ran.
@@ -122,7 +122,7 @@ def main():
     print(f"D=7: power-f64={e_pw:.12f} mixed={e_mx:.12f} diff={d7:.2e}")
 
     rec["pass_1e-8"] = bool(ok)
-    out = os.path.join(os.path.dirname(__file__), "..", "PARITY_D7_r03.json")
+    out = os.path.join(os.path.dirname(__file__), "..", "PARITY_D7.json")
     with open(out, "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps({"pass": rec["pass_1e-8"]}))
